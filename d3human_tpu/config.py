@@ -1,0 +1,243 @@
+"""Frozen configuration tree.
+
+Replaces the reference's argparse-FLAGS-mutated-as-global-blackboard pattern
+(/root/reference/train.py:1529-1660) with an immutable dataclass tree that is
+JSON-loadable; JSON keys override defaults verbatim like the reference's
+config merge (/root/reference/train.py:1657-1660).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field as dfield
+from typing import Any, Mapping, Optional, Sequence, Tuple
+
+
+def _tup(x):
+    return tuple(x) if isinstance(x, (list, tuple)) else x
+
+
+@dataclass(frozen=True)
+class FieldConfig:
+    """SDF / nonrigid-deform MLP architecture (ref train.py:1622-1626)."""
+
+    n_freq: int = 6              # positional-encoding frequencies
+    n_freq_deform: int = 8       # ref hmsdf.py:282 (MLP_deform n_freq=8)
+    d_hidden: int = 256
+    n_hidden: int = 6
+    skip_in: Tuple[int, ...] = (3,)
+    pose_code_dim: int = 136     # ref hmsdf.py:201 fix_code last dim
+    cond_dim: int = 64           # ref hmsdf.py:331-339
+    use_bfloat16: bool = False   # ref FLAGS.use_float16 analogue (hidden layers)
+
+
+@dataclass(frozen=True)
+class GeometryConfig:
+    """Tet grid + G-Shell capacities."""
+
+    grid_res: int = 128          # ref FLAGS.gshell_grid (f3c.json: 128)
+    mesh_scale: float = 1.0      # ref FLAGS.mesh_scale
+    grid_scale: float = 1.2      # ref hmsdf.py:211 (verts *= 1.2)
+    grid_y_offset: float = -0.1919  # ref hmsdf.py:210
+    boxscale: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    aabb: Tuple[float, ...] = (-1, -1, -1, 1, 1, 1)
+    # Static capacities for the fixed-shape marching-tets pipeline.
+    # max_verts bounds SDF-crossing grid edges; max_tets bounds sign-mixed
+    # tets. A human surface at grid 128 yields ~100-300k crossing edges.
+    max_verts: int = 2 ** 18
+    max_tets: int = 2 ** 18
+    # Eikonal sample count (ref hmsdf.py:714 kaolin sample_points 50000)
+    n_eikonal_samples: int = 50000
+
+    @property
+    def max_displacement(self) -> float:
+        # ref hmsdf.py:388
+        return 1.0 / self.grid_res * self.mesh_scale / 2.1
+
+
+@dataclass(frozen=True)
+class TextureConfig:
+    """Hash-grid neural texture (ref render/mlptexture.py:51-116)."""
+
+    channels: int = 6
+    n_levels: int = 5
+    n_features_per_level: int = 2
+    log2_hashmap_size: int = 21
+    base_resolution: int = 16
+    desired_resolution: int = 4096
+    ref_levels_for_scale: int = 16   # per_level_scale computed as if 16 levels
+    internal_dims: int = 32
+    hidden: int = 2
+    gradient_scaling: float = 128.0  # ref mlptexture.py:78
+    # Hardcoded sample bbox (ref mlptexture.py:94, preserved quirk)
+    bbox_lo: Tuple[float, float, float] = (0.6, 0.6, 0.2)
+    bbox_hi: Tuple[float, float, float] = (-0.8, -1.2, -0.2)
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    train_res: Tuple[int, int] = (1080, 1080)   # f3c.json
+    texture_res: Tuple[int, int] = (1080, 1080)
+    spp: int = 1
+    layers: int = 1
+    probe_res: int = 256
+    env_scale: float = 2.0
+    learn_lighting: bool = True
+    background: str = "white"
+    n_samples: int = 24
+    # material clamp ranges (ref train.py:1587-1592)
+    kd_min: Tuple[float, ...] = (0.0, 0.0, 0.0, 0.0)
+    kd_max: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    ks_min: Tuple[float, ...] = (0.0, 0.001, 0.0)
+    ks_max: Tuple[float, ...] = (0.0, 1.0, 1.0)
+    # rasterizer
+    tile_h: int = 8
+    tile_w: int = 128
+    max_faces_per_tile: int = 512
+    bin_expand: int = 16          # max tiles a face may be binned into
+    backend: str = "auto"        # 'auto' | 'xla' | 'pallas'
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    loss: str = "logl1"          # ref FLAGS.loss
+    sdf_regularizer: float = 0.2
+    msdf_reg_open_scale: float = 1e-6
+    msdf_reg_close_scale: float = 3e-6
+    eikonal_scale: Optional[float] = None   # None => hardcoded schedule
+    lambda_kd: float = 0.1
+    lambda_ks: float = 0.05
+    lambda_nrm: float = 0.025
+    lambda_chroma: float = 0.0
+    lambda_diffuse: float = 0.15
+    lambda_specular: float = 0.0025
+    use_depth: bool = False
+    use_eikonal: bool = True
+    use_mesh_msdf_reg: bool = True
+    collision_push_eps: float = 0.005  # ref hmsdf.py:98
+    perceptual_crop: int = 448          # ref hmsdf.py:1072
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    learning_rate: Tuple[float, float] = (0.03, 0.005)  # (pos, mat); f3c.json
+    warmup_iter: int = 300
+    clip_max_norm: float = 0.0
+    light_grad_scale: float = 64.0   # ref train.py:744-745
+    hashgrid_grad_scale: float = 0.125  # ref train.py:747-750 (grad /= 8)
+    nonrigid_begin: int = 20000      # ref train.py:1632
+
+
+@dataclass(frozen=True)
+class StageConfig:
+    init_epoch: int = 2001
+    split_epoch: int = 1001
+    split_smpl_epoch: int = 1001
+    fine_epoch: int = 1001
+    seq_epoch: int = 50001
+    seq_max_frames: int = 20         # ref train.py:1922
+    seq_iters_first: int = 1000      # ref train.py:1349-1352
+    seq_iters_rest: int = 300
+    sdf_mlp_pretrain_steps: int = 3000
+    sdf_deform_pretrain_steps: int = 1000
+    save_checkpoint_interval: int = 500
+    save_interval: int = 100
+    log_interval: int = 10
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout. The seq stage shards independent per-frame
+    optimizations over the ``frames`` axis; init/split stages replicate
+    params and psum grads over the ``data`` axis."""
+
+    data_axis: str = "data"
+    frames_axis: str = "frames"
+    n_frame_shards: int = 0          # 0 => all local devices
+
+
+@dataclass(frozen=True)
+class Config:
+    field: FieldConfig = dfield(default_factory=FieldConfig)
+    geometry: GeometryConfig = dfield(default_factory=GeometryConfig)
+    texture: TextureConfig = dfield(default_factory=TextureConfig)
+    render: RenderConfig = dfield(default_factory=RenderConfig)
+    loss: LossConfig = dfield(default_factory=LossConfig)
+    optim: OptimConfig = dfield(default_factory=OptimConfig)
+    stages: StageConfig = dfield(default_factory=StageConfig)
+    parallel: ParallelConfig = dfield(default_factory=ParallelConfig)
+    out_dir: str = "out"
+    data_dir: str = "data"
+    gender: str = "neutral"
+    seed: int = 0
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# Map of flat reference-style JSON keys -> (section, field) so shipped-style
+# configs (e.g. /root/reference/configs/f3c.json) load unchanged.
+_FLAT_KEYS = {
+    "gshell_grid": ("geometry", "grid_res"),
+    "mesh_scale": ("geometry", "mesh_scale"),
+    "boxscale": ("geometry", "boxscale"),
+    "aabb": ("geometry", "aabb"),
+    "train_res": ("render", "train_res"),
+    "texture_res": ("render", "texture_res"),
+    "spp": ("render", "spp"),
+    "probe_res": ("render", "probe_res"),
+    "env_scale": ("render", "env_scale"),
+    "background": ("render", "background"),
+    "n_samples": ("render", "n_samples"),
+    "ks_min": ("render", "ks_min"),
+    "ks_max": ("render", "ks_max"),
+    "learning_rate": ("optim", "learning_rate"),
+    "loss": ("loss", "loss"),
+    "sdf_regularizer": ("loss", "sdf_regularizer"),
+    "msdf_reg_open_scale": ("loss", "msdf_reg_open_scale"),
+    "msdf_reg_close_scale": ("loss", "msdf_reg_close_scale"),
+    "eikonal_scale": ("loss", "eikonal_scale"),
+    "iter": ("stages", "init_epoch"),
+    "save_interval": ("stages", "save_interval"),
+    "n_hidden": ("field", "n_hidden"),
+    "d_hidden": ("field", "d_hidden"),
+    "n_freq": ("field", "n_freq"),
+    "skip_in": ("field", "skip_in"),
+    "out_dir": (None, "out_dir"),
+    "gender": (None, "gender"),
+}
+
+
+def _apply_overrides(cfg: Config, data: Mapping[str, Any]) -> Config:
+    sections = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
+    top: dict = {}
+    for key, value in data.items():
+        if key in _FLAT_KEYS:
+            sec, name = _FLAT_KEYS[key]
+            value = _tup(value)
+            if sec is None:
+                top[name] = value
+            else:
+                sections[sec] = dataclasses.replace(sections[sec], **{name: value})
+        elif key in sections and isinstance(value, Mapping):
+            sub = {
+                k: _tup(v)
+                for k, v in value.items()
+                if k in {f.name for f in dataclasses.fields(sections[key])}
+            }
+            sections[key] = dataclasses.replace(sections[key], **sub)
+        elif key in {f.name for f in dataclasses.fields(cfg)}:
+            top[key] = _tup(value)
+        # Unknown keys are ignored (reference carried many unused flags).
+    return dataclasses.replace(cfg, **{**sections, **top})
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[Mapping[str, Any]] = None) -> Config:
+    cfg = Config()
+    if path is not None:
+        with open(path) as f:
+            cfg = _apply_overrides(cfg, json.load(f))
+    if overrides:
+        cfg = _apply_overrides(cfg, overrides)
+    return cfg

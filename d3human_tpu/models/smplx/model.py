@@ -1,0 +1,211 @@
+"""SMPL-X body model in JAX.
+
+Replaces the torch smplx fork (/root/reference/deform/smplx_exavatar/body_models.py:894-1317)
+with a functional model: static arrays (template, blendshapes, regressor,
+skinning weights, kinematic tree) live in a pytree; ``forward`` assembles the
+full 55-joint pose vector from part poses and runs :func:`lbs`, returning
+(vertices, joints, A) — A being the per-joint rest->posed 4x4 transforms the
+deformer needs (the ExAvatar fork's extra return).
+
+Model data loads from the official SMPL-X npz when available. Because the
+licensed npz cannot ship with the repo, :func:`synthetic_body_model` builds a
+structurally identical small model (capsule-limb humanoid) used by tests and
+benchmarks; the math path is byte-for-byte the same.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from d3human_tpu.models.smplx.lbs import lbs
+
+# SMPL-X joint layout (public model topology): 55 joints
+NUM_JOINTS = 55
+NUM_BODY_JOINTS = 21
+NUM_HAND_JOINTS = 15
+SMPLX_PARENTS = (
+    -1, 0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18, 19,
+    15, 15, 15,                                    # jaw, leye, reye
+    20, 25, 26, 20, 28, 29, 20, 31, 32, 20, 34, 35, 20, 37, 38,  # left hand
+    21, 40, 41, 21, 43, 44, 21, 46, 47, 21, 49, 50, 21, 52, 53,  # right hand
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SMPLXModel:
+    """Static model data. All arrays are jnp (device) arrays."""
+
+    v_template: jnp.ndarray      # [V, 3]
+    shapedirs: jnp.ndarray       # [V, 3, n_betas + n_expr]
+    posedirs: jnp.ndarray        # [(J-1)*9, V*3]
+    J_regressor: jnp.ndarray     # [J, V]
+    lbs_weights: jnp.ndarray     # [V, J]
+    faces: np.ndarray            # [F, 3] int (host)
+    parents: Tuple[int, ...] = SMPLX_PARENTS
+    num_betas: int = 100
+    num_expr: int = 50
+
+    @property
+    def num_verts(self) -> int:
+        return self.v_template.shape[0]
+
+    @property
+    def num_joints(self) -> int:
+        return self.J_regressor.shape[0]
+
+    def forward(
+        self,
+        betas: jnp.ndarray,          # [B, num_betas]
+        root_pose: jnp.ndarray,      # [B, 3]
+        body_pose: jnp.ndarray,      # [B, 63]
+        jaw_pose: Optional[jnp.ndarray] = None,    # [B, 3]
+        leye_pose: Optional[jnp.ndarray] = None,   # [B, 3]
+        reye_pose: Optional[jnp.ndarray] = None,   # [B, 3]
+        lhand_pose: Optional[jnp.ndarray] = None,  # [B, 45]
+        rhand_pose: Optional[jnp.ndarray] = None,  # [B, 45]
+        expression: Optional[jnp.ndarray] = None,  # [B, num_expr]
+        transl: Optional[jnp.ndarray] = None,      # [B, 3]
+        face_offset: Optional[jnp.ndarray] = None,    # [B, V, 3]
+        joint_offset: Optional[jnp.ndarray] = None,   # [B, J, 3]
+        locator_offset: Optional[jnp.ndarray] = None, # [B, J, 3]
+    ):
+        """Returns (verts [B,V,3], joints [B,J,3], A [B,J,4,4]).
+
+        Mirrors SMPLX.forward (ref body_models.py:1126-1317): pose vector
+        order is [root, body, jaw, leye, reye, lhand, rhand]; expression
+        coefficients concatenate onto betas against the combined shapedirs;
+        transl is added after skinning and included in A's translation the
+        same way the reference adds it via apply_lbs (transl added outside).
+        """
+        B = betas.shape[0]
+        J = self.num_joints
+        zeros3 = jnp.zeros((B, 3), betas.dtype)
+        zeros45 = jnp.zeros((B, 45), betas.dtype)
+        jaw_pose = zeros3 if jaw_pose is None else jaw_pose
+        leye_pose = zeros3 if leye_pose is None else leye_pose
+        reye_pose = zeros3 if reye_pose is None else reye_pose
+        lhand_pose = zeros45 if lhand_pose is None else lhand_pose
+        rhand_pose = zeros45 if rhand_pose is None else rhand_pose
+        if expression is None:
+            expression = jnp.zeros((B, self.num_expr), betas.dtype)
+
+        # Model may be synthetic (fewer joints); slice pose to fit.
+        full_pose = jnp.concatenate(
+            [root_pose, body_pose, jaw_pose, leye_pose, reye_pose,
+             lhand_pose, rhand_pose], axis=1)[:, : J * 3]
+
+        shape_components = jnp.concatenate([betas, expression], axis=-1)
+        shape_components = shape_components[:, : self.shapedirs.shape[-1]]
+
+        v_template = self.v_template[None]
+        if face_offset is not None:
+            v_template = v_template + face_offset
+
+        verts, joints, A = lbs(
+            shape_components, full_pose, v_template,
+            self.shapedirs, self.posedirs, self.J_regressor,
+            self.parents, self.lbs_weights,
+            joint_offset=joint_offset, locator_offset=locator_offset,
+        )
+        if transl is not None:
+            verts = verts + transl[:, None, :]
+            joints = joints + transl[:, None, :]
+        return verts, joints, A
+
+
+def load_smplx_npz(model_path: str, gender: str = "neutral",
+                   num_betas: int = 100, num_expr: int = 50) -> SMPLXModel:
+    """Load the official SMPL-X npz (SMPLX_{GENDER}.npz layout)."""
+    fn = os.path.join(model_path, f"SMPLX_{gender.upper()}.npz")
+    data = np.load(fn, allow_pickle=True)
+    shapedirs = np.asarray(data["shapedirs"], np.float32)
+    # official layout: [:, :, :300] shape, [:, :, 300:] expression
+    n_shape = min(num_betas, 300)
+    sd = np.concatenate(
+        [shapedirs[:, :, :n_shape], shapedirs[:, :, 300:300 + num_expr]], axis=-1
+    ) if shapedirs.shape[-1] > 300 else shapedirs[:, :, :n_shape]
+    posedirs = np.asarray(data["posedirs"], np.float32)
+    posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T if posedirs.ndim == 3 else posedirs
+    return SMPLXModel(
+        v_template=jnp.asarray(data["v_template"], jnp.float32),
+        shapedirs=jnp.asarray(sd, jnp.float32),
+        posedirs=jnp.asarray(posedirs, jnp.float32),
+        J_regressor=jnp.asarray(data["J_regressor"], jnp.float32),
+        lbs_weights=jnp.asarray(data["weights"], jnp.float32),
+        faces=np.asarray(data["f"], np.int64),
+        parents=tuple(int(p) for p in np.asarray(data["kintree_table"])[0])
+        if "kintree_table" in data else SMPLX_PARENTS,
+        num_betas=n_shape, num_expr=num_expr,
+    )
+
+
+def synthetic_body_model(n_theta: int = 24, n_phi: int = 12,
+                         num_betas: int = 10, num_expr: int = 4,
+                         seed: int = 0) -> SMPLXModel:
+    """A small, structurally-complete humanoid body model for tests/bench.
+
+    Geometry: a vertical capsule torso with two arm capsules — enough
+    articulation (9 joints along a kinematic tree) to exercise every code
+    path (blend shapes, pose correctives, chain transforms, skinning).
+    """
+    rng = np.random.default_rng(seed)
+    # --- torso: capsule along y in [-0.6, 0.6], radius 0.18
+    ring_t = np.linspace(-0.6, 0.6, n_theta)
+    ang = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
+    verts = []
+    for y in ring_t:
+        r = 0.18 * np.sqrt(np.clip(1.0 - (abs(y) / 0.62) ** 4, 0.05, 1.0))
+        for a in ang:
+            verts.append([r * np.cos(a), y, r * np.sin(a)])
+    verts = np.asarray(verts, np.float32)
+    V = len(verts)
+
+    # faces: quad strips between rings
+    faces = []
+    for i in range(n_theta - 1):
+        for j in range(n_phi):
+            a = i * n_phi + j
+            b = i * n_phi + (j + 1) % n_phi
+            c = (i + 1) * n_phi + j
+            d = (i + 1) * n_phi + (j + 1) % n_phi
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    faces = np.asarray(faces, np.int64)
+
+    # --- joints: pelvis, spine x2, neck, head, shoulders, elbows (9)
+    J = 9
+    parents = (-1, 0, 1, 2, 3, 2, 5, 2, 7)
+    joint_pos = np.asarray([
+        [0, -0.45, 0], [0, -0.15, 0], [0, 0.15, 0], [0, 0.40, 0],
+        [0, 0.55, 0], [-0.15, 0.35, 0], [-0.3, 0.35, 0],
+        [0.15, 0.35, 0], [0.3, 0.35, 0],
+    ], np.float32)
+
+    # J_regressor: soft-assign joints to nearest vertices
+    d = np.linalg.norm(verts[None, :, :] - joint_pos[:, None, :], axis=-1)
+    J_regressor = np.exp(-d / 0.05)
+    J_regressor /= J_regressor.sum(axis=1, keepdims=True)
+
+    # skinning weights: softmax over joint distance
+    w = np.exp(-(d.T / 0.12) ** 2)
+    lbs_weights = (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
+
+    shapedirs = (rng.normal(size=(V, 3, num_betas + num_expr)) * 0.01).astype(np.float32)
+    posedirs = (rng.normal(size=((J - 1) * 9, V * 3)) * 0.001).astype(np.float32)
+
+    return SMPLXModel(
+        v_template=jnp.asarray(verts),
+        shapedirs=jnp.asarray(shapedirs),
+        posedirs=jnp.asarray(posedirs),
+        J_regressor=jnp.asarray(J_regressor.astype(np.float32)),
+        lbs_weights=jnp.asarray(lbs_weights),
+        faces=faces,
+        parents=parents,
+        num_betas=num_betas,
+        num_expr=num_expr,
+    )
