@@ -85,10 +85,12 @@ class HashGridEncoding:
         if self.dense[level]:
             stride = res + 1
             return (ix[..., 0] * stride + ix[..., 1]) * stride + ix[..., 2]
-        h = ix[..., 0] * _PRIMES[0]
-        h = h ^ (ix[..., 1] * _PRIMES[1])
-        h = h ^ (ix[..., 2] * _PRIMES[2])
-        return jnp.remainder(h, self.table_size)
+        # uint32 wraparound multiply is the intended spatial-hash behavior
+        ix = ix.astype(jnp.uint32)
+        h = ix[..., 0] * jnp.uint32(_PRIMES[0])
+        h = h ^ (ix[..., 1] * jnp.uint32(_PRIMES[1]))
+        h = h ^ (ix[..., 2] * jnp.uint32(_PRIMES[2]))
+        return (h & jnp.uint32(self.table_size - 1)).astype(jnp.int32)
 
     def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         """x: [..., 3] in [0,1] -> [..., n_levels * n_features]."""
