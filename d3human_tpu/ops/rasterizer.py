@@ -1,0 +1,458 @@
+"""Differentiable triangle rasterization for TPU (nvdiffrast replacement).
+
+Replaces the nvdiffrast CUDA/OpenGL rasterize/interpolate/antialias stack the
+reference renders through (/root/reference/render/render.py:396-403 rasterize,
+:36-37 interpolate, :381 antialias) with an XLA-native design:
+
+  1. ``rasterize``  — hard visibility only: per-pixel (triangle_id, depth).
+     Non-differentiable by construction (ids are integers); wrapped in
+     stop_gradient. Tile-binned: faces are binned to 8x128-pixel tiles by a
+     single int32 sort of packed (tile_id, face_id) keys (tile<<20|face), and
+     each tile z-buffers only its own face list. Edge/depth evaluation is
+     formulated as (pixels x 2) @ (2 x faces) matmuls so coverage tests ride
+     the MXU. Oversize faces (bbox spanning > bin_expand tiles) go to a
+     global list every tile also tests.
+  2. ``interpolate`` — all gradients: perspective-correct barycentrics are
+     recomputed *analytically* from clip-space vertices at each covered
+     pixel, so attribute and position gradients come from plain autodiff.
+     This factorization is mathematically identical to nvdiffrast's
+     rasterize-backward (barycentric derivative chain).
+  3. ``antialias``  — silhouette gradients: for neighboring pixel pairs with
+     differing coverage, the covering triangle's edge crossing between the
+     two pixel centers yields a blend weight t whose derivative w.r.t. the
+     clip vertices is the screen-space silhouette gradient (the mechanism by
+     which mask losses move the SDF).
+
+Conventions: pixel (row i, col j) center maps to NDC
+(x = (j+.5)*2/W - 1, y = 1 - (i+.5)*2/H) — row 0 is the image top, matching
+the reference's dataset/projection stack (flip baked into the NDC matrix,
+/root/reference/dataset/dataset_split.py:57-68). Depth test keeps the
+smallest z/w (GL convention, nearer < farther).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+BG_SENTINEL_Z = 3.4e38
+
+
+class Rast(NamedTuple):
+    tri_id: jnp.ndarray   # [H, W] int32: face index + 1; 0 = background
+    zbuf: jnp.ndarray     # [H, W] f32: screen-space z/w of the winner
+
+
+def xfm_points(points: jnp.ndarray, mtx: jnp.ndarray) -> jnp.ndarray:
+    """Transform [N,3] points by a 4x4 matrix -> clip space [N,4]
+    (ref render/renderutils xfm_points semantics: row-vector points)."""
+    p = jnp.concatenate([points, jnp.ones_like(points[..., :1])], axis=-1)
+    return p @ mtx.T
+
+
+def _screen_xy(verts_clip: jnp.ndarray, res: Tuple[int, int]) -> jnp.ndarray:
+    """Clip -> pixel coordinates. Returns [N, 2] (x_pix, y_pix)."""
+    H, W = res
+    w = verts_clip[..., 3:4]
+    w = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+    ndc = verts_clip[..., :2] / w
+    x = (ndc[..., 0] * 0.5 + 0.5) * W
+    y = (0.5 - ndc[..., 1] * 0.5) * H
+    return jnp.stack([x, y], axis=-1)
+
+
+def _face_setup(verts_clip, faces):
+    """Per-face screen geometry: pixel-space corner positions [F,3,2],
+    z/w per corner [F,3], 1/w per corner [F,3], front-of-camera mask."""
+    tri = verts_clip[faces]                       # [F, 3, 4]
+    w = tri[..., 3]
+    ok_w = jnp.all(w > 1e-6, axis=-1)             # near-plane conservative cull
+    return tri, ok_w
+
+
+def _edge_coeffs(pix_xy: jnp.ndarray):
+    """pix_xy [F,3,2] -> edge functions E_k(p) = cross(v_{k+1}-v_k, p-v_k).
+
+    Returns (A [F,3,2], C [F,3]) so that E_k(p) = A_k . p + C_k.
+    Edge k connects corner k -> k+1; E_k > 0 when p is left of the edge.
+    """
+    v0 = pix_xy
+    v1 = pix_xy[:, jnp.asarray([1, 2, 0])]
+    d = v1 - v0                                   # [F, 3, 2]
+    # cross(d, p - v0) = d.x*(p.y-v0.y) - d.y*(p.x-v0.x)
+    A = jnp.stack([-d[..., 1], d[..., 0]], axis=-1)          # [F, 3, 2]
+    C = d[..., 1] * v0[..., 0] - d[..., 0] * v0[..., 1]      # [F, 3]
+    return A, C
+
+
+def _z_plane(pix_xy: jnp.ndarray, z: jnp.ndarray):
+    """Affine z/w over the screen: z(p) = az*x + by*y + c per face.
+
+    z/w is affine in screen space (perspective-correct depth)."""
+    x, y = pix_xy[..., 0], pix_xy[..., 1]
+    det = ((x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0])
+           - (x[:, 2] - x[:, 0]) * (y[:, 1] - y[:, 0]))
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    dz1, dz2 = z[:, 1] - z[:, 0], z[:, 2] - z[:, 0]
+    az = (dz1 * (y[:, 2] - y[:, 0]) - dz2 * (y[:, 1] - y[:, 0])) / det
+    bz = (dz2 * (x[:, 1] - x[:, 0]) - dz1 * (x[:, 2] - x[:, 0])) / det
+    cz = z[:, 0] - az * x[:, 0] - bz * y[:, 0]
+    return az, bz, cz
+
+
+def _resolve_tile(pix: jnp.ndarray, face_ids: jnp.ndarray, A, C, az, bz, cz,
+                  live: jnp.ndarray, block: int = 128):
+    """Z-buffer resolve of one pixel set against one face list.
+
+    pix: [P, 2] pixel centers. face_ids: [M] global ids (for output).
+    A [M,3,2], C [M,3], (az,bz,cz) [M], live [M].
+    Returns (best_id [P] int32 (0=miss), best_z [P]).
+    """
+    P = pix.shape[0]
+    M = face_ids.shape[0]
+    nb = -(-M // block)
+
+    def body(carry, s):
+        best_z, best_id = carry
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, s * block, block, 0)
+        Ab, Cb, azb, bzb, czb = sl(A), sl(C), sl(az), sl(bz), sl(cz)
+        idb, liveb = sl(face_ids), sl(live)
+        # E: [P, block, 3] via matmul on (P,2)x(2, block*3)
+        E = (pix @ Ab.reshape(-1, 2).T).reshape(P, block, 3) + Cb[None]
+        inside = (jnp.all(E >= 0, axis=-1) | jnp.all(E <= 0, axis=-1))
+        z = pix[:, 0:1] * azb[None] + pix[:, 1:2] * bzb[None] + czb[None]
+        z = jnp.where(inside & liveb[None], z, BG_SENTINEL_Z)
+        zmin = jnp.min(z, axis=1)
+        arg = jnp.argmin(z, axis=1)
+        cand_id = idb[arg] + 1
+        better = zmin < best_z
+        return (jnp.where(better, zmin, best_z),
+                jnp.where(better, cand_id, best_id)), None
+
+    init = (jnp.full((P,), BG_SENTINEL_Z), jnp.zeros((P,), jnp.int32))
+    (bz_, bi_), _ = jax.lax.scan(body, init, jnp.arange(nb))
+    return bi_, bz_
+
+
+def rasterize(
+    verts_clip: jnp.ndarray,      # [V, 4]
+    faces: jnp.ndarray,           # [F, 3] int32
+    face_valid: jnp.ndarray,      # [F] bool
+    resolution: Tuple[int, int],  # (H, W)
+    tile: Tuple[int, int] = (8, 128),
+    max_faces_per_tile: int = 512,
+    bin_expand: int = 8,
+    max_global: int = 512,
+) -> Rast:
+    """Tile-binned z-buffer rasterization (hard visibility, no gradients)."""
+    verts_clip = jax.lax.stop_gradient(verts_clip)
+    H, W = resolution
+    th, tw = tile
+    nty, ntx = -(-H // th), -(-W // tw)
+    NT = nty * ntx
+    F = faces.shape[0]
+    assert F < (1 << 20), "pack format supports < 1M faces"
+    assert NT < (1 << 11), "pack format supports < 2048 tiles"
+
+    tri, ok_w = _face_setup(verts_clip, faces)
+    live = face_valid & ok_w
+    pix_xy = _screen_xy(tri, resolution)          # [F, 3, 2]
+    zw = tri[..., 2] / jnp.where(jnp.abs(tri[..., 3]) < 1e-8, 1e-8, tri[..., 3])
+    A, C = _edge_coeffs(pix_xy)
+    az, bz, cz = _z_plane(pix_xy, zw)
+
+    # degenerate faces (zero area) are dropped
+    area = C.sum(-1)  # E_0+E_1+E_2 at origin... use cross product directly
+    x, y = pix_xy[..., 0], pix_xy[..., 1]
+    area = ((x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0])
+            - (x[:, 2] - x[:, 0]) * (y[:, 1] - y[:, 0]))
+    live = live & (jnp.abs(area) > 1e-12)
+
+    # ---- binning ----------------------------------------------------------
+    xmin = jnp.min(pix_xy[..., 0], axis=1)
+    xmax = jnp.max(pix_xy[..., 0], axis=1)
+    ymin = jnp.min(pix_xy[..., 1], axis=1)
+    ymax = jnp.max(pix_xy[..., 1], axis=1)
+    on_screen = (xmax >= 0) & (xmin < W) & (ymax >= 0) & (ymin < H)
+    live = live & on_screen
+    tx0 = jnp.clip(jnp.floor(xmin / tw), 0, ntx - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(xmax / tw), 0, ntx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(ymin / th), 0, nty - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(ymax / th), 0, nty - 1).astype(jnp.int32)
+    sx = tx1 - tx0 + 1
+    sy = ty1 - ty0 + 1
+    span = sx * sy
+    small = live & (span <= bin_expand)
+    big = live & (span > bin_expand)
+
+    # emit up to bin_expand (tile, face) pairs per face
+    K = bin_expand
+    k = jnp.arange(K, dtype=jnp.int32)
+    kx = k[None, :] % jnp.maximum(sx, 1)[:, None]
+    ky = k[None, :] // jnp.maximum(sx, 1)[:, None]
+    pair_tile = (ty0[:, None] + ky) * ntx + (tx0[:, None] + kx)   # [F, K]
+    pair_ok = small[:, None] & (k[None, :] < span[:, None])
+    pair_tile = jnp.where(pair_ok, pair_tile, NT)                 # sentinel
+    pair_face = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[:, None],
+                                 (F, K))
+    packed = (pair_tile.reshape(-1) << 20) | pair_face.reshape(-1)
+    packed = jnp.sort(packed)
+    s_tile = packed >> 20
+    s_face = packed & ((1 << 20) - 1)
+
+    starts = jnp.searchsorted(s_tile, jnp.arange(NT + 1, dtype=jnp.int32))
+    MFPT = max_faces_per_tile
+    slot = jnp.arange(MFPT, dtype=jnp.int32)
+    gpos = starts[:NT, None] + slot[None, :]                      # [NT, MFPT]
+    in_list = gpos < starts[1:, None]
+    gpos = jnp.clip(gpos, 0, F * K - 1)
+    tile_faces = jnp.where(in_list, s_face[gpos], 0)              # [NT, MFPT]
+    tile_live = in_list
+
+    # global (oversize) face list
+    (big_idx,) = jnp.nonzero(big, size=max_global, fill_value=F)
+    big_ok = big_idx < F
+    big_idx_c = jnp.clip(big_idx, 0, F - 1)
+
+    # ---- per-tile resolve --------------------------------------------------
+    ii = jnp.arange(th, dtype=jnp.float32)
+    jj = jnp.arange(tw, dtype=jnp.float32)
+    base_pix = jnp.stack(
+        jnp.meshgrid(jj + 0.5, ii + 0.5, indexing="xy"), axis=-1
+    ).reshape(-1, 2)  # [th*tw, 2] as (x, y)
+
+    def do_tile(t):
+        tyx = jnp.stack([(t % ntx) * tw, (t // ntx) * th]).astype(jnp.float32)
+        pix = base_pix + tyx[None, :]
+        fids = tile_faces[t]
+        fl = tile_live[t]
+        idt, zt = _resolve_tile(
+            pix, fids, A[fids], C[fids], az[fids], bz[fids], cz[fids], fl)
+        idg, zg = _resolve_tile(
+            pix, big_idx_c, A[big_idx_c], C[big_idx_c],
+            az[big_idx_c], bz[big_idx_c], cz[big_idx_c], big_ok)
+        better = zg < zt
+        return jnp.where(better, idg, idt), jnp.where(better, zg, zt)
+
+    ids, zs = jax.lax.map(do_tile, jnp.arange(NT, dtype=jnp.int32),
+                          batch_size=min(NT, 32))
+    ids = ids.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3).reshape(
+        nty * th, ntx * tw)[:H, :W]
+    zs = zs.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3).reshape(
+        nty * th, ntx * tw)[:H, :W]
+    return Rast(tri_id=ids, zbuf=zs)
+
+
+def rasterize_bruteforce(verts_clip, faces, face_valid, resolution) -> Rast:
+    """Oracle rasterizer: every pixel tests every face. For tests/small
+    scenes (the reference's use_python= pattern, ref renderutils/ops.py)."""
+    verts_clip = jax.lax.stop_gradient(verts_clip)
+    H, W = resolution
+    tri, ok_w = _face_setup(verts_clip, faces)
+    live = face_valid & ok_w
+    pix_xy = _screen_xy(tri, resolution)
+    zw = tri[..., 2] / jnp.where(jnp.abs(tri[..., 3]) < 1e-8, 1e-8, tri[..., 3])
+    A, C = _edge_coeffs(pix_xy)
+    az, bz, cz = _z_plane(pix_xy, zw)
+    x, y = pix_xy[..., 0], pix_xy[..., 1]
+    area = ((x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0])
+            - (x[:, 2] - x[:, 0]) * (y[:, 1] - y[:, 0]))
+    live = live & (jnp.abs(area) > 1e-12)
+
+    jjj, iii = jnp.meshgrid(jnp.arange(W) + 0.5, jnp.arange(H) + 0.5)
+    pix = jnp.stack([jjj.reshape(-1), iii.reshape(-1)], axis=-1)
+    ids, zs = _resolve_tile(pix, jnp.arange(faces.shape[0], dtype=jnp.int32),
+                            A, C, az, bz, cz, live)
+    return Rast(tri_id=ids.reshape(H, W), zbuf=zs.reshape(H, W))
+
+
+# ---------------------------------------------------------------------------
+# Differentiable attribute interpolation
+# ---------------------------------------------------------------------------
+
+def _pixel_centers(resolution):
+    H, W = resolution
+    jjj, iii = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32) + 0.5,
+                            jnp.arange(H, dtype=jnp.float32) + 0.5)
+    return jjj, iii  # x, y pixel coords [H, W]
+
+
+def barycentrics(
+    verts_clip: jnp.ndarray, faces: jnp.ndarray, rast: Rast,
+    resolution: Tuple[int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Perspective-correct barycentrics [H, W, 3] + coverage mask [H, W].
+
+    Fully differentiable w.r.t. verts_clip — this is where nvdiffrast's
+    rasterize-backward position gradients come from."""
+    H, W = resolution
+    fid = jnp.maximum(rast.tri_id - 1, 0)                  # [H, W]
+    tri = verts_clip[faces[fid]]                           # [H, W, 3, 4]
+    w = tri[..., 3]
+    w = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+    xs = (tri[..., 0] / w * 0.5 + 0.5) * W                 # [H, W, 3]
+    ys = (0.5 - tri[..., 1] / w * 0.5) * H
+    px, py = _pixel_centers(resolution)
+    # screen-space edge functions at the pixel center
+    def edge(k):
+        k1 = (k + 1) % 3
+        return ((xs[..., k1] - xs[..., k]) * (py - ys[..., k])
+                - (ys[..., k1] - ys[..., k]) * (px - xs[..., k]))
+    # b_k is opposite edge k -> use edges (1,2,0)
+    e0, e1, e2 = edge(1), edge(2), edge(0)
+    ssum = e0 + e1 + e2
+    ssum = jnp.where(jnp.abs(ssum) < 1e-12, 1e-12, ssum)
+    bs = jnp.stack([e0, e1, e2], axis=-1) / ssum[..., None]  # screen-space
+    # perspective correction: b_k ∝ bs_k / w_k
+    bw = bs / w
+    bsum = jnp.sum(bw, axis=-1, keepdims=True)
+    bsum = jnp.where(jnp.abs(bsum) < 1e-12, 1e-12, bsum)
+    bary = bw / bsum
+    mask = rast.tri_id > 0
+    return jnp.where(mask[..., None], bary, 0.0), mask
+
+
+def interpolate(
+    attrs: jnp.ndarray,        # [V, C] vertex attributes
+    bary: jnp.ndarray,         # [H, W, 3]
+    faces: jnp.ndarray,        # [F, 3]
+    rast: Rast,
+) -> jnp.ndarray:
+    """Gather + weighted sum (ref render.py:36-37 dr.interpolate)."""
+    fid = jnp.maximum(rast.tri_id - 1, 0)
+    fa = attrs[faces[fid]]                                  # [H, W, 3, C]
+    out = jnp.sum(fa * bary[..., None], axis=-2)
+    return jnp.where((rast.tri_id > 0)[..., None], out, 0.0)
+
+
+def interpolate_face_attr(face_attrs: jnp.ndarray, rast: Rast) -> jnp.ndarray:
+    """Flat per-face attributes (e.g. face normals / labels)."""
+    fid = jnp.maximum(rast.tri_id - 1, 0)
+    out = face_attrs[fid]
+    return jnp.where((rast.tri_id > 0)[..., None], out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Antialiasing (silhouette gradients)
+# ---------------------------------------------------------------------------
+
+def _aa_pairs(color, verts_clip, faces, rast, resolution, axis):
+    """Compute AA blend for neighbor pairs along `axis` (1=horizontal pairs,
+    0=vertical). Returns updated color image."""
+    H, W = resolution
+    idm = rast.tri_id
+    zb = rast.zbuf
+    if axis == 1:
+        ida, idb = idm[:, :-1], idm[:, 1:]
+        za, zb_ = zb[:, :-1], zb[:, 1:]
+    else:
+        ida, idb = idm[:-1, :], idm[1:, :]
+        za, zb_ = zb[:-1, :], zb[1:, :]
+
+    differs = ida != idb
+    # winner = the closer covered pixel
+    a_cov = ida > 0
+    b_cov = idb > 0
+    a_wins = a_cov & ((~b_cov) | (za <= zb_))
+    winner_id = jnp.where(a_wins, ida, idb)
+    active = differs & (a_cov | b_cov)
+
+    fid = jnp.maximum(winner_id - 1, 0)
+    tri = verts_clip[faces[fid]]                            # [., ., 3, 4]
+    w = tri[..., 3]
+    w = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+    xs = (tri[..., 0] / w * 0.5 + 0.5) * W
+    ys = (0.5 - tri[..., 1] / w * 0.5) * H
+
+    # pixel centers of A and B
+    px, py = _pixel_centers(resolution)
+    if axis == 1:
+        pax, pay = px[:, :-1], py[:, :-1]
+        pbx, pby = px[:, 1:], py[:, 1:]
+    else:
+        pax, pay = px[:-1, :], py[:-1, :]
+        pbx, pby = px[1:, :], py[1:, :]
+
+    def edges_at(qx, qy):
+        k1 = jnp.asarray([1, 2, 0])
+        return ((xs[..., k1] - xs) * (qy[..., None] - ys)
+                - (ys[..., k1] - ys) * (qx[..., None] - xs))  # [., ., 3]
+
+    Ea = edges_at(pax, pay)
+    Eb = edges_at(pbx, pby)
+    # orient so the winner side is positive
+    sgn = jnp.where(jnp.sum(Ea, -1, keepdims=True) + jnp.sum(Eb, -1, keepdims=True) >= 0, 1.0, -1.0)
+    Ew = jnp.where(a_wins[..., None], Ea, Eb) * sgn
+    Eo = jnp.where(a_wins[..., None], Eb, Ea) * sgn
+    flips = (Ew > 0) & (Eo < 0)
+    denom = Ew - Eo
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    t_k = Ew / denom                       # crossing position from winner
+    t_k = jnp.where(flips, t_k, 2.0)
+    t = jnp.min(t_k, axis=-1)              # first exit edge
+    has_edge = jnp.any(flips, axis=-1) & (t <= 1.0)
+
+    # blend: boundary at distance t from winner center; midpoint at 0.5
+    #   t > 0.5: winner spills into the loser pixel by (t - 0.5)
+    #   t < 0.5: winner's own pixel partially uncovered by (0.5 - t)
+    active = active & has_edge
+    spill = jnp.clip(t - 0.5, 0.0, 0.5)
+    recede = jnp.clip(0.5 - t, 0.0, 0.5)
+
+    if axis == 1:
+        ca, cb = color[:, :-1], color[:, 1:]
+    else:
+        ca, cb = color[:-1, :], color[1:, :]
+    wcol = jnp.where(a_wins[..., None], ca, cb)
+    lcol = jnp.where(a_wins[..., None], cb, ca)
+    new_l = lcol + (wcol - lcol) * spill[..., None]
+    new_w = wcol + (lcol - wcol) * recede[..., None]
+    act = active[..., None]
+    out_a = jnp.where(act, jnp.where(a_wins[..., None], new_w, new_l), ca)
+    out_b = jnp.where(act, jnp.where(a_wins[..., None], new_l, new_w), cb)
+
+    if axis == 1:
+        color = color.at[:, :-1].set(out_a).at[:, 1:].set(
+            jnp.where(act, out_b, color[:, 1:]))
+        # note: .at[:, :-1].set(out_a) already includes non-active passthrough
+    else:
+        color = color.at[:-1, :].set(out_a).at[1:, :].set(
+            jnp.where(act, out_b, color[1:, :]))
+    return color
+
+
+def antialias(color: jnp.ndarray, verts_clip: jnp.ndarray, faces: jnp.ndarray,
+              rast: Rast) -> jnp.ndarray:
+    """Discrete edge antialiasing with silhouette gradients
+    (ref render.py:381 dr.antialias inside composite_buffer).
+
+    color: [H, W, C]."""
+    resolution = color.shape[:2]
+    color = _aa_pairs(color, verts_clip, faces, rast, resolution, axis=1)
+    color = _aa_pairs(color, verts_clip, faces, rast, resolution, axis=0)
+    return color
+
+
+# ---------------------------------------------------------------------------
+# Image helpers (spp scaling)
+# ---------------------------------------------------------------------------
+
+def avg_pool_nhwc(img: jnp.ndarray, factor: int) -> jnp.ndarray:
+    if factor == 1:
+        return img
+    H, W, C = img.shape[-3], img.shape[-2], img.shape[-1]
+    lead = img.shape[:-3]
+    x = img.reshape(*lead, H // factor, factor, W // factor, factor, C)
+    return x.mean(axis=(-4, -2))
+
+
+def visible_face_mask(rast: Rast, n_faces: int) -> jnp.ndarray:
+    """Boolean [F] mask of faces visible in the rasterization — static-shape
+    replacement for the reference's `rast[...,-1].unique()` visible-triangle
+    list (ref render.py:404-407)."""
+    mask = jnp.zeros((n_faces + 1,), bool)
+    mask = mask.at[rast.tri_id.reshape(-1)].set(True)
+    return mask[1:]

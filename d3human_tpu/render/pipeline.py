@@ -1,0 +1,208 @@
+"""Mesh rendering pipeline: rasterize -> interpolate -> shade -> composite.
+
+Functional redesign of the reference render pass
+(/root/reference/render/render.py: shade:42-205, render_layer:213-339,
+render_mesh:347-451) and its mask/id variant
+(/root/reference/render/render_mask.py, which adds a per-pixel ``mesh_id``
+buffer composited WITHOUT antialiasing — how cloth/body masks come from one
+merged mesh in the seq stage).
+
+Reference behaviors preserved:
+  * ``bsdf`` is forced to 'kd' (ref render.py:120) => albedo-only shading;
+    the env-light/OptiX/denoiser branch is dead at runtime. The light is
+    still carried/optimized for surface parity.
+  * material-smoothness inputs come from jittered texture taps
+    (spatial +N(0,0.01) world jitter for kd/ks, ref render.py:84-89) and a
+    jittered screen-space resample of the normal buffer (+-N(0,0.005) UV,
+    ref render.py:68-72,102-103).
+  * alpha for depth/invdepth is forced to 1 to avoid double blending
+    (ref render.py:180-195).
+  * composite = lerp(background, color, alpha) then antialias
+    (ref render.py:375-382); every buffer is antialiased except mesh_id.
+
+The whole pipeline is jit-traceable with static shapes; the only
+non-differentiable piece is the rasterizer's visibility (by design).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from d3human_tpu.ops import mesh_ops
+from d3human_tpu.ops.rasterizer import (
+    Rast, antialias, barycentrics, interpolate, interpolate_face_attr,
+    rasterize, rasterize_bruteforce, visible_face_mask, xfm_points,
+)
+
+
+class MeshBuffers(NamedTuple):
+    shaded: jnp.ndarray             # [H, W, 4] kd + alpha, composited + AA
+    geometric_normal: jnp.ndarray   # [H, W, 4]
+    normal: jnp.ndarray             # [H, W, 4] (smooth, two-sided)
+    depth: jnp.ndarray              # [H, W, 2]
+    invdepth: jnp.ndarray           # [H, W, 2]
+    kd: jnp.ndarray                 # [H, W, 4]
+    ks: jnp.ndarray                 # [H, W, 4]
+    kd_grad: jnp.ndarray            # [H, W, 4]
+    ks_grad: jnp.ndarray            # [H, W, 4]
+    normal_grad: jnp.ndarray        # [H, W, 4]
+    msdf_image: jnp.ndarray         # [H, W, 1]
+    mesh_id: jnp.ndarray            # [H, W, 1] face-label buffer (no AA)
+    alpha: jnp.ndarray              # [H, W, 1] raw coverage (pre-AA)
+    visible_faces: jnp.ndarray      # [F] bool
+    rast: Rast
+
+
+def _bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """img [H, W, C], uv [..., 2] in [0,1] -> [..., C] (clamp boundary)."""
+    H, W = img.shape[:2]
+    x = uv[..., 0] * W - 0.5
+    y = uv[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx, fy = x - x0, y - y0
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1 = jnp.clip(x0 + 1, 0, W - 1)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    y1 = jnp.clip(y0 + 1, 0, H - 1)
+    return (img[y0, x0] * ((1 - fx) * (1 - fy))[..., None]
+            + img[y0, x1] * (fx * (1 - fy))[..., None]
+            + img[y1, x0] * ((1 - fx) * fy)[..., None]
+            + img[y1, x1] * (fx * fy)[..., None])
+
+
+def render_mesh(
+    key: jax.Array,
+    verts: jnp.ndarray,             # [V, 3] posed vertex positions
+    verts_original: jnp.ndarray,    # [V, 3] canonical positions (texture coords)
+    faces: jnp.ndarray,             # [F, 3]
+    face_valid: jnp.ndarray,        # [F]
+    mvp: jnp.ndarray,               # [4, 4]
+    campos: jnp.ndarray,            # [3]
+    resolution: Tuple[int, int],
+    tex_module,                     # MLPTexture3D
+    tex_params,
+    background: jnp.ndarray,        # [H, W, 3]
+    msdf_attr: Optional[jnp.ndarray] = None,     # [V] mSDF per vertex
+    face_labels: Optional[jnp.ndarray] = None,   # [F] 0=body 1=cloth
+    v_nrm: Optional[jnp.ndarray] = None,         # [V, 3] smooth normals
+    spp: int = 1,
+    use_bruteforce_raster: bool = False,
+    raster_opts: Optional[dict] = None,
+) -> MeshBuffers:
+    H, W = resolution
+    full_res = (H * spp, W * spp)
+
+    v_clip = xfm_points(verts, mvp)
+    raster = rasterize_bruteforce if use_bruteforce_raster else rasterize
+    rast = raster(v_clip, faces, face_valid, full_res,
+                  **(raster_opts or {} if not use_bruteforce_raster else {}))
+    bary, cover = barycentrics(v_clip, faces, rast, full_res)
+    mask = cover[..., None].astype(jnp.float32)
+
+    # ---- interpolated geometry buffers ------------------------------------
+    gb_pos = interpolate(verts, bary, faces, rast)
+    gb_pos_orig = interpolate(verts_original, bary, faces, rast)
+    fn = mesh_ops.face_normals(verts, faces)
+    gb_geo_normal = interpolate_face_attr(fn, rast)
+    if v_nrm is None:
+        v_nrm = mesh_ops.auto_normals(verts, faces, face_valid)
+    gb_normal = interpolate(v_nrm, bary, faces, rast)
+
+    # two-sided shading normal: flip toward the viewer
+    # (ref ru.prepare_shading_normal two_sided_shading=True, render.py:111)
+    view_vec = campos[None, None, :] - gb_pos
+    flip = jnp.sum(gb_geo_normal * view_vec, axis=-1, keepdims=True) < 0
+    gb_normal_ts = mesh_ops.safe_normalize(
+        jnp.where(flip, -gb_normal, gb_normal))
+
+    # ---- texture lookups (kd path; bsdf forced 'kd', ref render.py:120) ---
+    k_jit, k_nrm = jax.random.split(key)
+    tex = tex_module.sample(tex_params, gb_pos_orig)
+    jitter_pos = gb_pos_orig + 0.01 * jax.random.normal(
+        k_jit, gb_pos_orig.shape)
+    tex_j = tex_module.sample(tex_params, jitter_pos)
+    kd, ks = tex[..., 0:3], tex[..., 3:6]
+    kd_grad = jnp.abs(tex_j[..., 0:3] - kd)
+    ks_grad = jnp.abs(tex_j[..., 3:6] - ks) * jnp.asarray([0.0, 1.0, 1.0])
+
+    # ---- jittered normal smoothness (ref render.py:68-72,102-103) ---------
+    uu, vv = jnp.meshgrid(
+        (jnp.arange(full_res[1]) + 0.5) / full_res[1],
+        (jnp.arange(full_res[0]) + 0.5) / full_res[0])
+    pix_uv = jnp.stack([uu, vv], axis=-1)
+    jit_uv = pix_uv + 0.005 * jax.random.normal(k_nrm, pix_uv.shape)
+    nrm_tap = _bilinear_sample(gb_normal, jit_uv)
+    mask_tap = _bilinear_sample(mask, jit_uv)
+    grad_weight = mask * mask_tap
+    nrm_grad = jnp.abs(nrm_tap - gb_normal) * grad_weight
+
+    # ---- scalar buffers ----------------------------------------------------
+    alpha = mask
+    dist = jnp.sqrt(jnp.sum((gb_pos - campos[None, None, :]) ** 2,
+                            axis=-1, keepdims=True) + 1e-12)
+    depth = jnp.where(cover[..., None], dist, 0.0)
+    invdepth = jnp.where(cover[..., None], 1.0 / jnp.maximum(dist, 1e-8), 0.0)
+
+    if msdf_attr is not None:
+        msdf_img = interpolate(msdf_attr[:, None], bary, faces, rast)
+    else:
+        msdf_img = jnp.zeros((*full_res, 1))
+
+    if face_labels is not None:
+        mesh_id = interpolate_face_attr(
+            face_labels.astype(jnp.float32)[:, None], rast)
+    else:
+        mesh_id = jnp.zeros((*full_res, 1))
+
+    # ---- composite + antialias (ref render.py:375-449) --------------------
+    ones = jnp.ones_like(alpha)
+
+    def comp(color, bg, aa=True, alpha_out=None):
+        a = alpha_out if alpha_out is not None else alpha
+        rgba = jnp.concatenate(
+            [bg + (color - bg) * alpha, a * ones], axis=-1)
+        if aa:
+            rgba = antialias(rgba, v_clip, faces, rast)
+        return rgba
+
+    zero3 = jnp.zeros_like(kd)
+    shaded = comp(kd, background)
+    geo_n = comp(gb_geo_normal, zero3)
+    nrm = comp(gb_normal_ts, zero3)
+    kd_b = comp(kd, zero3)
+    ks_b = comp(ks, zero3)
+    kdg_b = comp(kd_grad, zero3)
+    ksg_b = comp(ks_grad, zero3)
+    nrmg_b = comp(nrm_grad, zero3)
+    # depth buffers: alpha forced 1 to avoid double blending (ref :180-195)
+    depth_b = antialias(jnp.concatenate(
+        [20.0 + (depth - 20.0) * alpha, ones], axis=-1), v_clip, faces, rast)
+    invd_b = antialias(jnp.concatenate(
+        [invdepth * alpha, ones], axis=-1), v_clip, faces, rast)
+    msdf_b = antialias(jnp.concatenate([msdf_img * alpha, alpha], axis=-1),
+                       v_clip, faces, rast)[..., :1]
+
+    out = MeshBuffers(
+        shaded=shaded,
+        geometric_normal=geo_n,
+        normal=nrm,
+        depth=depth_b[..., :2],
+        invdepth=invd_b[..., :2],
+        kd=kd_b, ks=ks_b, kd_grad=kdg_b, ks_grad=ksg_b, normal_grad=nrmg_b,
+        msdf_image=msdf_b,
+        mesh_id=mesh_id,                 # NOT antialiased (ref render_mask)
+        alpha=alpha,
+        visible_faces=visible_face_mask(rast, faces.shape[0]),
+        rast=rast,
+    )
+    if spp > 1:
+        from d3human_tpu.ops.rasterizer import avg_pool_nhwc
+        out = MeshBuffers(*[
+            avg_pool_nhwc(b, spp) if isinstance(b, jnp.ndarray)
+            and b.ndim == 3 and b.shape[0] == full_res[0] else b
+            for b in out])
+    return out

@@ -17,3 +17,7 @@ jax.config.update("jax_enable_x64", False)
 # This JAX build demotes fp32 matmuls by default (~1e-3 error) even on CPU;
 # oracle and finite-difference comparisons need true fp32.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Single-core box: persistent compilation cache makes repeated runs fast,
+# and tests must ALWAYS jit (eager dispatch is ~1000x slower here).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,159 @@
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from d3human_tpu.ops.marching_tets import gshell_extract, sdf_reg_loss
+from d3human_tpu.ops.tet_grid import make_tet_grid
+
+MV = MT = 8192
+
+
+@pytest.fixture(scope="module")
+def grid():
+    return make_tet_grid(res=12, bounds=((-0.5,) * 3, (0.5,) * 3),
+                         y_offset=0.0, scale=2.0)
+
+
+@pytest.fixture(scope="module")
+def extract(grid):
+    @jax.jit
+    def f(sdf, msdf, sign):
+        return gshell_extract(grid, grid.verts, sdf, msdf, MV, MT,
+                              msdf_sign=sign)
+    return lambda sdf, msdf, sign=1.0: f(sdf, msdf, sign)
+
+
+def sphere_sdf(pos, r=0.7):
+    return r - jnp.linalg.norm(pos, axis=-1)   # >0 inside
+
+
+def _valid_faces(mesh):
+    return np.asarray(mesh.faces)[np.asarray(mesh.face_valid)]
+
+
+def _face_areas(verts, faces):
+    v = np.asarray(verts)
+    a, b, c = v[faces[:, 0]], v[faces[:, 1]], v[faces[:, 2]]
+    return 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=-1)
+
+
+def test_grid_topology(grid):
+    assert grid.n_tets == 12 ** 3 * 6
+    assert grid.n_verts == 13 ** 3
+    te = np.asarray(grid.tet_edges[:10])
+    tets = np.asarray(grid.tets[:10])
+    edges = np.asarray(grid.edges)
+    from itertools import combinations
+    for t in range(10):
+        got = {tuple(sorted(edges[e])) for e in te[t]}
+        expect = {tuple(sorted(p)) for p in combinations(tets[t], 2)}
+        assert got == expect
+
+
+def test_sphere_extraction_watertight(grid, extract):
+    sdf = sphere_sdf(grid.verts)
+    msdf = jnp.ones(grid.n_verts)   # keep everything -> aug == watertight
+    mesh = extract(sdf, msdf)
+
+    faces = _valid_faces(mesh)
+    assert faces.shape[0] > 100
+    used = np.unique(faces)
+    r = np.linalg.norm(np.asarray(mesh.verts)[used], axis=-1)
+    assert np.abs(r - 0.7).max() < 0.08
+    # closed surface: every edge shared by exactly 2 faces
+    e = np.sort(faces[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2), axis=1)
+    _, counts = np.unique(e, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    area = _face_areas(mesh.verts, faces).sum()
+    assert abs(area - 4 * np.pi * 0.7 ** 2) / (4 * np.pi * 0.7 ** 2) < 0.05
+
+
+def test_msdf_plane_cut(grid, extract):
+    sdf = sphere_sdf(grid.verts)
+    msdf = grid.verts[:, 0]        # keep x>0 hemisphere
+    mesh = extract(sdf, msdf)
+    faces = _valid_faces(mesh)
+    verts = np.asarray(mesh.verts)
+    centers = verts[faces].mean(axis=1)
+    assert centers[:, 0].min() > -0.05
+    area = _face_areas(mesh.verts, faces).sum()
+    assert abs(area - 2 * np.pi * 0.7 ** 2) / (2 * np.pi * 0.7 ** 2) < 0.08
+    used = np.unique(faces)
+    bnd = used[used >= mesh.n_verts_watertight]
+    assert bnd.size > 0
+    assert np.abs(verts[bnd][:, 0]).max() < 0.06
+
+
+def test_split_body_is_complement(grid, extract):
+    sdf = sphere_sdf(grid.verts)
+    msdf = grid.verts[:, 0]
+    cloth = extract(sdf, msdf, 1.0)
+    body = extract(sdf, msdf, -1.0)
+    a_c = _face_areas(cloth.verts, _valid_faces(cloth)).sum()
+    a_b = _face_areas(body.verts, _valid_faces(body)).sum()
+    a_full = 4 * np.pi * 0.7 ** 2
+    assert abs((a_c + a_b) - a_full) / a_full < 0.06
+
+
+def test_gradients_reach_sdf(grid):
+    """Inflating the SDF must move vertices outward with d(radius)/d(offset)
+    == 1 for a unit-gradient SDF — the gradient path that drives learning."""
+    msdf = jnp.ones(grid.n_verts)
+
+    @jax.jit
+    def mean_radius(offset):
+        sdf = sphere_sdf(grid.verts) + offset
+        mesh = gshell_extract(grid, grid.verts, sdf, msdf, MV, MT)
+        r = jnp.linalg.norm(mesh.verts_wt, axis=-1)
+        ok = mesh.vert_valid[: MV]
+        return jnp.sum(jnp.where(ok, r, 0.0)) / jnp.sum(ok)
+
+    g = jax.jit(jax.grad(mean_radius))(0.0)
+    eps = 1e-3
+    fd = (mean_radius(eps) - mean_radius(-eps)) / (2 * eps)
+    assert 0.9 < float(g) < 1.1
+    np.testing.assert_allclose(float(g), float(fd), rtol=0.05)
+
+
+def test_gradients_reach_msdf_through_boundary(grid):
+    """Boundary vertex positions must carry gradients into the mSDF field
+    (level-2 weights NOT detached for positions, ref gshell_tets.py:373)."""
+    sdf = sphere_sdf(grid.verts)
+
+    @jax.jit
+    def boundary_x(shift):
+        msdf = grid.verts[:, 0] + shift
+        mesh = gshell_extract(grid, grid.verts, sdf, msdf, MV, MT)
+        bx = mesh.verts[MV:, 0]
+        ok = mesh.vert_valid[MV:]
+        return jnp.sum(jnp.where(ok, bx, 0.0)) / jnp.maximum(jnp.sum(ok), 1)
+
+    g = jax.jit(jax.grad(boundary_x))(0.0)
+    eps = 1e-3
+    fd = (boundary_x(eps) - boundary_x(-eps)) / (2 * eps)
+    assert abs(float(g)) > 0.1
+    np.testing.assert_allclose(float(g), float(fd), rtol=0.1)
+
+
+def test_msdf_values_coefficient_gradients_stopped(grid):
+    """msdf carried values use gradient-stopped interpolation coefficients
+    (ref gshell_tets.py:303,388): constant msdf => zero grad w.r.t. sdf."""
+    msdf = jnp.ones(grid.n_verts) * 0.5
+
+    @jax.jit
+    def mean_msdf(offset):
+        sdf = sphere_sdf(grid.verts) + offset
+        mesh = gshell_extract(grid, grid.verts, sdf, msdf, MV, MT)
+        return jnp.mean(mesh.msdf_wt)
+
+    g = jax.jit(jax.grad(mean_msdf))(0.0)
+    assert abs(float(g)) < 1e-6
+
+
+def test_sdf_reg_loss(grid):
+    f = jax.jit(lambda s: sdf_reg_loss(s, grid))
+    assert float(f(sphere_sdf(grid.verts))) > 0
+    assert float(f(jnp.ones(grid.n_verts))) == 0.0
