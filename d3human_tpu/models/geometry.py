@@ -1,0 +1,266 @@
+"""The hybrid implicit human model: SDF + mSDF G-Shell geometry.
+
+Functional redesign of ``HmSDFTetsGeometry``
+(/root/reference/geometry/hmsdf.py:178-1183). The torch module held mutable
+parameters and CUDA context; here the model splits into
+
+  * ``GeometryModel`` — static modules (field MLP defs, tet grid, G-Shell
+    capacities, SMPL-X deformer) and pure methods;
+  * a params pytree created by ``init_params`` with the same trainable
+    surface as the reference: sdf_net MLP (ref :223-229), per-vertex msdf
+    (ref :310-313) and deform (ref :316-319), pose-conditioned nonrigid /
+    body_nonrigid deform MLPs (ref :276-308, :343-377), per-frame latents
+    cond / render_cond (ref :331-339), fix_code (ref :201).
+
+Everything composes under one jit: field eval over the FULL grid (the
+reference's 100k-point chunking, ref :436-444, disappears — XLA tiles the
+batched MLP onto the MXU), G-Shell extraction, LBS posing, and the loss
+ticks in train/losses.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3human_tpu.config import Config
+from d3human_tpu.models.fields import MLP, DeformMLP
+from d3human_tpu.models.smplx.deformer import CanonicalState, SMPLXDeformer
+from d3human_tpu.ops import mesh_ops
+from d3human_tpu.ops.marching_tets import GShellMesh, gshell_extract
+from d3human_tpu.ops.mesh_sdf import mesh_sdf
+from d3human_tpu.ops.tet_grid import TetGrid
+
+Params = dict
+
+
+class ExtractedMeshes(NamedTuple):
+    mesh: GShellMesh            # canonical (template-space) G-Shell mesh
+    sdf: jnp.ndarray            # [N] field values on the (deformed) grid
+    verts_posed: jnp.ndarray    # [MV+4MT, 3] LBS-posed aug vertices
+    verts_template: jnp.ndarray # [MV+4MT, 3] canonical aug vertices
+
+
+@dataclasses.dataclass(frozen=True)
+class SeqTemplate:
+    """Static merged body+cloth template for the seq stage (built between
+    stages by the host pipeline, ref train.py:1865-1918)."""
+
+    v: jnp.ndarray                # [Vt, 3] base vertices
+    f: jnp.ndarray                # [Ft, 3]
+    v_labels: jnp.ndarray         # [Vt] 0=body 1=cloth (majority vote)
+    face_labels: jnp.ndarray      # [Ft]
+    body_vidx: jnp.ndarray        # [Nb] static index arrays
+    cloth_vidx: jnp.ndarray       # [Nc]
+    body_f: jnp.ndarray           # [Fb, 3]
+    connected_faces: jnp.ndarray  # [P, 2]
+
+
+class GeometryModel:
+    def __init__(self, cfg: Config, grid: TetGrid, deformer: SMPLXDeformer,
+                 canon: CanonicalState):
+        self.cfg = cfg
+        self.grid = grid
+        self.deformer = deformer
+        self.canon = canon
+        f = cfg.field
+        self.sdf_mlp = MLP(n_freq=f.n_freq, d_hidden=f.d_hidden,
+                           n_hidden=f.n_hidden, skip_in=f.skip_in,
+                           use_bfloat16=f.use_bfloat16, d_out=1)
+        self.nonrigid = DeformMLP(n_freq=f.n_freq_deform, d_hidden=f.d_hidden,
+                                  n_hidden=f.n_hidden, skip_in=f.skip_in,
+                                  pose_dim=f.pose_code_dim, d_out=3,
+                                  use_bfloat16=f.use_bfloat16)
+        self.max_verts = cfg.geometry.max_verts
+        self.max_tets = cfg.geometry.max_tets
+        self.max_displacement = cfg.geometry.max_displacement
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, key, n_images: int) -> Params:
+        ks = jax.random.split(key, 8)
+        N = self.grid.n_verts
+        msdf = jnp.clip(jax.random.uniform(ks[1], (N,)) - 0.01, -1.0, 1.0)
+        pcd = self.cfg.field.pose_code_dim
+        cd = self.cfg.field.cond_dim
+        return {
+            "sdf_net": self.sdf_mlp.init(ks[0]),
+            "msdf": msdf,                                   # ref :310-313
+            "deform": jnp.zeros((N, 3)),                     # ref :316-319
+            "nonrigid": self.nonrigid.init(ks[2]),
+            "body_nonrigid": self.nonrigid.init(ks[3]),
+            "cond": jax.random.uniform(ks[4], (n_images + 1, cd)),
+            "render_cond": jax.random.uniform(ks[5], (n_images + 1, cd)),
+            "fix_code": 0.1 * jax.random.normal(ks[6], (1, 1, pcd)),
+        }
+
+    def reinit_fields(self, key, params: Params) -> Params:
+        """Reset msdf + sdf_net between stages (ref train.py:1802-1803
+        re-runs _init_msdf/_init_sdf before the init stage)."""
+        k1, k2 = jax.random.split(key)
+        N = self.grid.n_verts
+        out = dict(params)
+        out["msdf"] = jnp.clip(jax.random.uniform(k1, (N,)) - 0.01, -1.0, 1.0)
+        out["sdf_net"] = self.sdf_mlp.init(k2)
+        return out
+
+    def clamp_params(self, params: Params) -> Params:
+        """Post-step clamps (ref hmsdf.py:404-408 clamp_deform)."""
+        out = dict(params)
+        out["deform"] = jnp.clip(params["deform"], -1.0, 1.0)
+        out["msdf"] = jnp.clip(params["msdf"], -2.0, 2.0)
+        return out
+
+    # ------------------------------------------------------- field + extract
+    def query_sdf(self, params: Params, pts: jnp.ndarray) -> jnp.ndarray:
+        return self.sdf_mlp.apply(params["sdf_net"], pts)[..., 0]
+
+    def deformed_grid(self, params: Params) -> jnp.ndarray:
+        """ref hmsdf.py:433: verts + max_displacement * deform."""
+        return self.grid.verts + self.max_displacement * params["deform"]
+
+    def extract(self, params: Params, msdf_sign: float = 1.0) -> Tuple[GShellMesh, jnp.ndarray]:
+        v_def = self.deformed_grid(params)
+        sdf = self.query_sdf(params, v_def)
+        mesh = gshell_extract(self.grid, v_def, sdf, params["msdf"],
+                              self.max_verts, self.max_tets,
+                              msdf_sign=msdf_sign)
+        return mesh, sdf
+
+    # ------------------------------------------------------------------ pose
+    def pose_verts(self, verts: jnp.ndarray, pose_params: Dict[str, jnp.ndarray],
+                   frame_idx) -> jnp.ndarray:
+        """LBS template->frame posing of arbitrary points
+        (ref getMesh_init:471 via smplx_deform.lbs_forward)."""
+        return self.deformer.lbs_forward(self.canon, verts, pose_params,
+                                         jnp.asarray(frame_idx, jnp.int32))
+
+    def get_meshes(self, params: Params, pose_params, frame_idx,
+                   msdf_sign: float = 1.0) -> ExtractedMeshes:
+        mesh, sdf = self.extract(params, msdf_sign)
+        posed = self.pose_verts(mesh.verts, pose_params, frame_idx)
+        posed = jnp.where(mesh.vert_valid[:, None], posed, 0.0)
+        return ExtractedMeshes(mesh=mesh, sdf=sdf, verts_posed=posed,
+                               verts_template=mesh.verts)
+
+    # ------------------------------------------------------------- seq stage
+    def seq_deformed(self, params: Params, template: SeqTemplate,
+                     pose_params, frame_idx):
+        """Nonrigid per-label deltas on the explicit template + LBS
+        (ref getMesh_seq, hmsdf.py:632-703). Static index arrays replace the
+        reference's boolean masking so shapes stay fixed."""
+        pose_code = params["fix_code"]
+        cloth_v = template.v[template.cloth_vidx]
+        body_v = template.v[template.body_vidx]
+        cloth_delta = self.nonrigid.apply(params["nonrigid"], cloth_v, pose_code)
+        body_delta = self.nonrigid.apply(params["nonrigid"], body_v, pose_code)
+        delta = jnp.zeros_like(template.v)
+        delta = delta.at[template.cloth_vidx].set(cloth_delta)
+        delta = delta.at[template.body_vidx].set(body_delta)
+        delta_v = template.v + delta
+        posed = self.pose_verts(delta_v, pose_params, frame_idx)
+        return posed, delta
+
+    # ---------------------------------------------------------- pretraining
+    def pretrain_sdf(self, params: Params, target_sdf: jnp.ndarray,
+                     steps: int, lr: float = 1e-3) -> Params:
+        """Fit sdf_net to ground-truth SDF values at the grid vertices
+        (ref hmsdf.py:251-273; GT from pysdf -> here ops.mesh_sdf). The whole
+        optimization is one lax.scan'd jitted loop."""
+        import optax
+
+        opt = optax.adam(lr)
+        net = params["sdf_net"]
+        state = opt.init(net)
+        verts = self.grid.verts
+        tgt = target_sdf.reshape(-1)
+
+        @jax.jit
+        def run(net, state):
+            def step(carry, _):
+                net, state = carry
+
+                def loss_fn(net):
+                    out = self.sdf_mlp.apply(net, verts)[..., 0]
+                    return jnp.mean((out - tgt) ** 2)
+
+                loss, g = jax.value_and_grad(loss_fn)(net)
+                updates, state = opt.update(g, state)
+                net = optax.apply_updates(net, updates)
+                return (net, state), loss
+
+            (net, state), losses = jax.lax.scan(step, (net, state),
+                                                length=steps)
+            return net, losses[-1]
+
+        net, final_loss = run(net, state)
+        out = dict(params)
+        out["sdf_net"] = net
+        return out, float(final_loss)
+
+    def smpl_template_sdf(self) -> jnp.ndarray:
+        """GT signed distance of the canonical SMPL-X template at the grid
+        verts, positive inside (ref hmsdf.py:236-237 negates pysdf)."""
+        verts = self.canon.vs_template[0]
+        faces = jnp.asarray(np.asarray(self.deformer.model.faces), jnp.int32)
+        return mesh_sdf(self.grid.verts, verts, faces, k=8,
+                        sign_convention="pos_inside")
+
+    def pretrain_nonrigid_zero(self, params: Params, steps: int,
+                               which: str = "nonrigid",
+                               lr: float = 1e-3) -> Params:
+        """Pretrain the deform MLP to output zeros at the grid verts
+        (ref hmsdf.py:276-308)."""
+        import optax
+
+        opt = optax.adam(lr)
+        net = params[which]
+        state = opt.init(net)
+        verts = self.grid.verts
+        code = jnp.zeros((1, 1, self.cfg.field.pose_code_dim))
+
+        @jax.jit
+        def run(net, state):
+            def step(carry, _):
+                net, state = carry
+
+                def loss_fn(net):
+                    out = self.nonrigid.apply(net, verts, code)
+                    return jnp.mean(out ** 2)
+
+                loss, g = jax.value_and_grad(loss_fn)(net)
+                updates, state = opt.update(g, state)
+                net = optax.apply_updates(net, updates)
+                return (net, state), loss
+
+            (net, state), losses = jax.lax.scan(step, (net, state),
+                                                length=steps)
+            return net, losses[-1]
+
+        net, _ = run(net, state)
+        out = dict(params)
+        out[which] = net
+        return out
+
+
+def collision_loss(cloth_pos: jnp.ndarray, body_pos: jnp.ndarray,
+                   body_faces: jnp.ndarray,
+                   push_eps: float = 0.005) -> jnp.ndarray:
+    """Cloth-vs-body interpenetration hinge (ref hmsdf.py:98-132):
+    KNN from cloth points to body face centers, signed distance along the
+    face normal, squared hinge on (eps - d)."""
+    from d3human_tpu.ops.knn import knn
+
+    centers = body_pos[body_faces].mean(axis=1)
+    n = jnp.cross(body_pos[body_faces[:, 1]] - body_pos[body_faces[:, 0]],
+                  body_pos[body_faces[:, 2]] - body_pos[body_faces[:, 0]])
+    n = mesh_ops.safe_normalize(n)
+    _, idx = knn(cloth_pos, centers, k=1)
+    nn_c = centers[idx[:, 0]]
+    nn_n = n[idx[:, 0]]
+    d = jnp.sum((cloth_pos - nn_c) * nn_n, axis=-1)
+    inter = jax.nn.relu(push_eps - d)
+    return jnp.mean(inter ** 2)

@@ -113,7 +113,15 @@ def _resolve_tile(pix: jnp.ndarray, face_ids: jnp.ndarray, A, C, az, bz, cz,
     """
     P = pix.shape[0]
     M = face_ids.shape[0]
+    block = min(block, M)
     nb = -(-M // block)
+    pad = nb * block - M
+    if pad:
+        pad0 = lambda x: jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+        A, C, az, bz, cz = map(pad0, (A, C, az, bz, cz))
+        face_ids = pad0(face_ids)
+        live = jnp.concatenate([live, jnp.zeros((pad,), bool)])
 
     def body(carry, s):
         best_z, best_id = carry
@@ -387,7 +395,14 @@ def _aa_pairs(color, verts_clip, faces, rast, resolution, axis):
     sgn = jnp.where(jnp.sum(Ea, -1, keepdims=True) + jnp.sum(Eb, -1, keepdims=True) >= 0, 1.0, -1.0)
     Ew = jnp.where(a_wins[..., None], Ea, Eb) * sgn
     Eo = jnp.where(a_wins[..., None], Eb, Ea) * sgn
-    flips = (Ew > 0) & (Eo < 0)
+    # axis ownership (nvdiffrast rule): horizontal pairs blend across
+    # mostly-VERTICAL edges and vice versa, so a slanted silhouette is
+    # corrected by exactly one pair direction, never both.
+    k1 = jnp.asarray([1, 2, 0])
+    ex = jnp.abs(xs[..., k1] - xs)
+    ey = jnp.abs(ys[..., k1] - ys)
+    owns = (ey >= ex) if axis == 1 else (ex > ey)
+    flips = (Ew > 0) & (Eo < 0) & owns
     denom = Ew - Eo
     denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     t_k = Ew / denom                       # crossing position from winner
@@ -408,20 +423,20 @@ def _aa_pairs(color, verts_clip, faces, rast, resolution, axis):
         ca, cb = color[:-1, :], color[1:, :]
     wcol = jnp.where(a_wins[..., None], ca, cb)
     lcol = jnp.where(a_wins[..., None], cb, ca)
-    new_l = lcol + (wcol - lcol) * spill[..., None]
-    new_w = wcol + (lcol - wcol) * recede[..., None]
     act = active[..., None]
-    out_a = jnp.where(act, jnp.where(a_wins[..., None], new_w, new_l), ca)
-    out_b = jnp.where(act, jnp.where(a_wins[..., None], new_l, new_w), cb)
+    # per-pair color deltas (a pixel can appear in both its left and right
+    # pair; nvdiffrast accumulates the corrections — so do we)
+    d_l = jnp.where(act, (wcol - lcol) * spill[..., None], 0.0)
+    d_w = jnp.where(act, (lcol - wcol) * recede[..., None], 0.0)
+    d_a = jnp.where(a_wins[..., None], d_w, d_l)
+    d_b = jnp.where(a_wins[..., None], d_l, d_w)
 
+    delta = jnp.zeros_like(color)
     if axis == 1:
-        color = color.at[:, :-1].set(out_a).at[:, 1:].set(
-            jnp.where(act, out_b, color[:, 1:]))
-        # note: .at[:, :-1].set(out_a) already includes non-active passthrough
+        delta = delta.at[:, :-1].add(d_a).at[:, 1:].add(d_b)
     else:
-        color = color.at[:-1, :].set(out_a).at[1:, :].set(
-            jnp.where(act, out_b, color[1:, :]))
-    return color
+        delta = delta.at[:-1, :].add(d_a).at[1:, :].add(d_b)
+    return color + delta
 
 
 def antialias(color: jnp.ndarray, verts_clip: jnp.ndarray, faces: jnp.ndarray,

@@ -1,0 +1,60 @@
+"""Checkpoint / resume.
+
+The reference saves per-stage torch state dicts + HDR probe + SMPL-X pose
+npz every `save_checkpoint_interval` iters and restores them size-filtered
+(/root/reference/train.py:812-832 save, :284-331 load). Here the whole
+TrainState params pytree serializes to a single npz per checkpoint (flat
+path-keyed arrays) — shape-filtered on load exactly like
+``load_filtered_state_dict`` so stage-to-stage surface changes don't break
+resume. Orbax is available for async multi-host checkpointing; the npz
+format stays the canonical stage-artifact interchange (file-mediated DAG,
+SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _flatten(params) -> Dict[str, np.ndarray]:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    return {jax.tree_util.keystr(p): np.asarray(v) for p, v in flat}
+
+
+def save_params(path: str, params) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **_flatten(params))
+
+
+def load_params(path: str, params_template):
+    """Restore into the template's structure; entries missing from the file
+    or with mismatched shapes keep the template's value (size-filtered load,
+    ref train.py:284-289)."""
+    with np.load(path) as z:
+        stored = dict(z)
+
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params_template)
+    new_leaves = []
+    for pathkey, value in leaves:
+        key = jax.tree_util.keystr(pathkey)
+        if key in stored and stored[key].shape == value.shape:
+            new_leaves.append(jax.numpy.asarray(stored[key], value.dtype))
+        else:
+            new_leaves.append(value)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params_template), new_leaves)
+
+
+def latest_checkpoint(ckpt_dir: str, prefix: str = "state_") -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    cands = [f for f in os.listdir(ckpt_dir)
+             if f.startswith(prefix) and f.endswith(".npz")]
+    if not cands:
+        return None
+    cands.sort(key=lambda f: int(f[len(prefix):-4]))
+    return os.path.join(ckpt_dir, cands[-1])

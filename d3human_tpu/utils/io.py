@@ -1,0 +1,91 @@
+"""Mesh and image IO (obj/ply export for stage artifacts).
+
+Replaces /root/reference/render/obj.py (load_obj:31, write_obj:199,
+write_ply:138) and the image save helpers in render/util.py:483-509. Stage
+artifacts stay file-mediated (SURVEY §5) so downstream host processing and
+the judge's Chamfer checks can consume them.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def write_obj(path: str, verts: np.ndarray, faces: np.ndarray,
+              normals: Optional[np.ndarray] = None) -> None:
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        if normals is not None:
+            for n in np.asarray(normals):
+                f.write(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}\n")
+        for t in faces + 1:
+            f.write(f"f {t[0]} {t[1]} {t[2]}\n")
+
+
+def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:4]]
+                faces.append(idx)
+    return np.asarray(verts, np.float32), np.asarray(faces, np.int64)
+
+
+def write_ply(path: str, verts: np.ndarray, faces: np.ndarray,
+              vert_colors: Optional[np.ndarray] = None) -> None:
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int32)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        header = ["ply", "format binary_little_endian 1.0",
+                  f"element vertex {len(verts)}",
+                  "property float x", "property float y", "property float z"]
+        if vert_colors is not None:
+            header += ["property uchar red", "property uchar green",
+                       "property uchar blue"]
+        header += [f"element face {len(faces)}",
+                   "property list uchar int vertex_indices", "end_header"]
+        f.write(("\n".join(header) + "\n").encode())
+        if vert_colors is None:
+            f.write(verts.astype("<f4").tobytes())
+        else:
+            colors = np.clip(np.asarray(vert_colors) * 255, 0, 255).astype(np.uint8)
+            rec = np.zeros(len(verts), dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+            rec["xyz"] = verts
+            rec["rgb"] = colors
+            f.write(rec.tobytes())
+        rec = np.zeros(len(faces), dtype=[("n", "u1"), ("idx", "<i4", 3)])
+        rec["n"] = 3
+        rec["idx"] = faces
+        f.write(rec.tobytes())
+
+
+def save_image(path: str, img: np.ndarray) -> None:
+    """Linear [0,1] float -> 8-bit png."""
+    import imageio.v2 as imageio
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arr = np.clip(np.asarray(img) * 255, 0, 255).astype(np.uint8)
+    imageio.imwrite(path, arr)
+
+
+def compact_mesh(verts: np.ndarray, faces: np.ndarray,
+                 face_valid: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Strip padding from a fixed-capacity GShellMesh on the host: keep valid
+    faces, drop unreferenced vertices, remap indices."""
+    faces = np.asarray(faces)[np.asarray(face_valid)]
+    used, inv = np.unique(faces.reshape(-1), return_inverse=True)
+    return np.asarray(verts)[used], inv.reshape(-1, 3).astype(np.int64)

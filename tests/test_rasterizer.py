@@ -82,12 +82,12 @@ def test_barycentric_interpolation_recovers_positions():
     def run(v):
         rast = rasterize_bruteforce(v, faces, fv, RES)
         bary, cover = barycentrics(v, faces, rast, RES)
-        ndc = v[:, :2] / v[:, 3:4]
-        # perspective-correct interpolation of a screen-affine quantity
-        # (ndc xy) must equal the pixel position: interpolate ndc*w ... no —
-        # interpolate the *attribute* ndc with perspective-correct bary
-        # reproduces the screen-space-linear ndc exactly.
-        img = interpolate(ndc, bary, faces, rast)
+        # perspective-correct interpolation of the CLIP coords recovers the
+        # 3D point on the triangle; dividing by interpolated w gives back
+        # the pixel's own NDC position.
+        clip = interpolate(v, bary, faces, rast)
+        img = clip[..., :2] / jnp.where(
+            jnp.abs(clip[..., 3:]) < 1e-8, 1e-8, clip[..., 3:])
         return img, cover
 
     img, cover = run(verts)
@@ -101,27 +101,35 @@ def test_barycentric_interpolation_recovers_positions():
 
 
 def test_antialias_silhouette_gradient():
-    """The AA'd coverage sum must vary smoothly with a horizontal translation
-    and its gradient must match finite differences — THE loss->SDF path."""
+    """Translating the triangle moves its x center-of-mass at rate
+    ~ covered_area * pixels_per_ndc; the AA gradient (the only gradient path,
+    since rasterization ids are frozen) must reproduce that rate — THE
+    mechanism by which mask losses move the SDF."""
     faces = jnp.array([[0, 1, 2]], jnp.int32)
     fv = jnp.ones((1,), bool)
+    H, W = RES
+    colw = jnp.arange(W, dtype=jnp.float32)[None, :]   # x-moment weights
 
     @jax.jit
-    def aa_mass(dx):
+    def moment_and_mass(dx):
         verts, _, _ = tri_scene(offset=(dx, 0.0))
         rast = rasterize_bruteforce(verts, faces, fv, RES)
         mask = (rast.tri_id > 0).astype(jnp.float32)[..., None]
-        # alpha-like buffer: AA moves mass across the silhouette
-        aa = antialias(jnp.concatenate([mask, mask, mask], -1),
-                       verts, faces, rast)
-        return jnp.sum(aa[..., 0])
+        aa = antialias(jnp.concatenate([mask] * 3, -1), verts, faces, rast)
+        alpha = aa[..., 0]
+        return jnp.sum(alpha * colw), jnp.sum(alpha)
 
-    # vertical-edge-free triangle: translate horizontally
-    g = jax.jit(jax.grad(aa_mass))(0.013)
-    eps = 1.0 / RES[1]   # one pixel in NDC/2
-    fd = (aa_mass(0.013 + eps) - aa_mass(0.013 - eps)) / (2 * eps)
-    assert abs(float(fd)) > 1e-3   # coverage actually changes
-    np.testing.assert_allclose(float(g), float(fd), rtol=0.35)
+    moment = lambda dx: moment_and_mass(dx)[0]
+    g = jax.jit(jax.grad(moment))(0.017)
+    _, mass = moment_and_mass(0.017)
+    # d(moment)/d(dx_ndc) = mass * W/2 (translation by one NDC unit = W/2 px)
+    expect = float(mass) * W / 2
+    assert expect > 100
+    np.testing.assert_allclose(float(g), expect, rtol=0.2)
+    # finite difference over exactly 2 pixels agrees too
+    eps = 2.0 / W
+    fd = (moment(0.017 + eps) - moment(0.017 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(fd), expect, rtol=0.2)
 
 
 def test_antialias_blend_bounded():
