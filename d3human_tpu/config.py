@@ -46,9 +46,13 @@ class GeometryConfig:
     # max_verts bounds SDF-crossing grid edges; max_tets bounds sign-mixed
     # tets. A human surface at grid 128 yields ~100-300k crossing edges.
     max_verts: int = 2 ** 18
-    max_tets: int = 2 ** 18
+    max_tets: int = 196608     # 4*max_tets faces must stay < 2^20 (raster pack)
     # Eikonal sample count (ref hmsdf.py:714 kaolin sample_points 50000)
     n_eikonal_samples: int = 50000
+    # SDF MLP evaluation chunk with rematerialization: bounds backward-pass
+    # activation memory over the ~2.1M grid verts (the reference chunks to
+    # 100k for the same reason, ref hmsdf.py:187,436-444). 0 = no chunking.
+    sdf_chunk: int = 131072
 
     @property
     def max_displacement(self) -> float:

@@ -45,13 +45,24 @@ class SyntheticScene:
 
     def frame_target(self, frame_idx: int, key=None) -> Dict[str, jnp.ndarray]:
         """Render GT buffers for one frame (all_img/cloth_img/body_img with
-        alpha, all_normal, camera) in the schema the loss ticks consume."""
+        alpha, all_normal, camera) in the schema the loss ticks consume.
+        Jitted + cached (eager dispatch is pathologically slow on 1-core
+        hosts)."""
+        if not hasattr(self, "_jit_target"):
+            self._jit_target = jax.jit(self._frame_target_impl)
+        out = dict(self._jit_target(jnp.asarray(frame_idx, jnp.int32)))
+        out["frame_idx"] = jnp.asarray(frame_idx, jnp.int32)
+        return out
+
+    def _frame_target_impl(self, frame_idx) -> Dict[str, jnp.ndarray]:
         pose = self.pose_params
+        sl = lambda name: jax.lax.dynamic_slice_in_dim(
+            pose[name], frame_idx, 1, 0)
         verts, _, _ = self.model.forward(
             betas=pose["shape"],
-            root_pose=pose["root_pose"][frame_idx:frame_idx + 1],
-            body_pose=pose["body_pose"][frame_idx:frame_idx + 1],
-            transl=pose["trans"][frame_idx:frame_idx + 1],
+            root_pose=sl("root_pose"),
+            body_pose=sl("body_pose"),
+            transl=sl("trans"),
         )
         v = verts[0]
         faces = jnp.asarray(self.model.faces, jnp.int32)

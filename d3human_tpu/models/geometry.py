@@ -116,7 +116,22 @@ class GeometryModel:
 
     # ------------------------------------------------------- field + extract
     def query_sdf(self, params: Params, pts: jnp.ndarray) -> jnp.ndarray:
-        return self.sdf_mlp.apply(params["sdf_net"], pts)[..., 0]
+        """Field eval. For large point sets (the full tet grid) the MLP runs
+        chunked under jax.checkpoint: backward-pass activations exist for one
+        chunk at a time (the TPU analogue of the reference's memory-bounding
+        100k-point loop, ref hmsdf.py:436-444) while outputs stream to HBM."""
+        chunk = self.cfg.geometry.sdf_chunk
+        n = pts.shape[0] if pts.ndim == 2 else None
+        if not chunk or n is None or n <= chunk:
+            return self.sdf_mlp.apply(params["sdf_net"], pts)[..., 0]
+        pad = (-n) % chunk
+        pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
+        blocks = pts_p.reshape(-1, chunk, 3)
+
+        apply = jax.checkpoint(
+            lambda p: self.sdf_mlp.apply(params["sdf_net"], p)[..., 0])
+        out = jax.lax.map(apply, blocks)
+        return out.reshape(-1)[:n]
 
     def deformed_grid(self, params: Params) -> jnp.ndarray:
         """ref hmsdf.py:433: verts + max_displacement * deform."""
@@ -206,8 +221,10 @@ class GeometryModel:
         verts, positive inside (ref hmsdf.py:236-237 negates pysdf)."""
         verts = self.canon.vs_template[0]
         faces = jnp.asarray(np.asarray(self.deformer.model.faces), jnp.int32)
-        return mesh_sdf(self.grid.verts, verts, faces, k=8,
-                        sign_convention="pos_inside")
+        return jax.jit(
+            lambda pts, v, f: mesh_sdf(pts, v, f, k=8,
+                                       sign_convention="pos_inside")
+        )(self.grid.verts, verts, faces)
 
     def pretrain_nonrigid_zero(self, params: Params, steps: int,
                                which: str = "nonrigid",

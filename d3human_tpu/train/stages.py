@@ -1,0 +1,147 @@
+"""Stage drivers: the 4-stage optimization pipeline.
+
+Orchestrates the reference's stage graph (/root/reference/train.py:1528-1926):
+
+  A. split_smpl — optimize_mesh_split on the SMPL-pretrained SDF (ref :1776)
+  B. init       — reset msdf+sdf, optimize_mesh_init (ref :1802-1804)
+  C. split      — reload init ckpt, optimize_mesh_split (ref :1825-1827),
+                  then host template processing (close holes, msdf-cut
+                  merge — pipeline/, ref :1843-1858)
+  D. seq        — per-frame nonrigid refinement on the merged template
+                  (ref :1921-1926, <=20 frames, 1000 iters for frame 0 else
+                  300) — optionally frame-parallel over the device mesh
+                  (parallel/frames.py), the rebuild's TPU win.
+
+Each driver is a thin python loop around ONE jitted step; checkpoints,
+scalar logs, validation strips, and mesh artifacts land in
+out_dir/<stage>/ exactly like the reference's file-mediated DAG.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3human_tpu.config import Config
+from d3human_tpu.models.geometry import GeometryModel, SeqTemplate
+from d3human_tpu.train.checkpoint import save_params
+from d3human_tpu.train.step import TrainState, make_train_step
+from d3human_tpu.utils import io as mesh_io
+from d3human_tpu.utils.logging import ScalarLogger, StepTimer
+
+
+def run_stage(
+    stage: str,
+    n_iters: int,
+    state: TrainState,
+    step_fn,
+    next_target: Callable[[int], Dict],
+    cfg: Config,
+    save_path: str,
+    key,
+    model: Optional[GeometryModel] = None,
+    log_cb: Optional[Callable[[int, Dict], None]] = None,
+):
+    """Generic driver loop (ref optimize_mesh_init/split skeletons,
+    train.py:651-833 / :949-1243)."""
+    os.makedirs(save_path, exist_ok=True)
+    logger = ScalarLogger(os.path.join(save_path, "loss_log"))
+    timer = StepTimer()
+    for it in range(n_iters):
+        target = next_target(it)
+        timer.start()
+        state, aux = step_fn(state, target, jax.random.fold_in(key, it))
+        timer.stop(aux["total"])
+
+        if it % cfg.stages.log_interval == 0:
+            scalars = {k: float(v) for k, v in aux.items()
+                       if np.ndim(v) == 0}
+            scalars["time_ms"] = timer.avg_ms
+            logger.log(it, scalars)
+            print(f"[{stage}] iter={it:5d} total={scalars['total']:.4f} "
+                  f"time={timer.avg_ms:.1f}ms rem={timer.eta(n_iters - it)}",
+                  flush=True)
+            if log_cb is not None:
+                log_cb(it, scalars)
+
+        if it % cfg.stages.save_checkpoint_interval == 0 and it != 0:
+            save_params(os.path.join(save_path, "ckp", f"state_{it}.npz"),
+                        state.params)
+    save_params(os.path.join(save_path, "ckp", f"state_{n_iters - 1}.npz"),
+                state.params)
+    logger.close()
+    return state
+
+
+def export_stage_meshes(model: GeometryModel, params: Dict, save_path: str,
+                        tag: str) -> Dict[str, str]:
+    """Dump cloth/body/watertight template meshes as objs (ref split drivers
+    write split_{body,cloth}_imesh_*.obj, train.py:977-989). Returns paths."""
+    out = {}
+    extract = jax.jit(lambda p, s: model.extract(p, s))
+    for name, sign in (("cloth", 1.0), ("body", -1.0)):
+        mesh, _ = extract(params["geometry"], sign)
+        v, f = mesh_io.compact_mesh(mesh.verts, mesh.faces, mesh.face_valid)
+        path = os.path.join(save_path, f"split_{name}_imesh_{tag}.obj")
+        mesh_io.write_obj(path, v, f)
+        out[name] = path
+    # watertight template
+    mesh, _ = jax.jit(lambda p: model.extract(p, 1.0))(params["geometry"])
+    v, f = mesh_io.compact_mesh(mesh.verts_wt, mesh.faces_wt,
+                                mesh.face_wt_valid)
+    path = os.path.join(save_path, f"watertight_imesh_{tag}.obj")
+    mesh_io.write_obj(path, v, f)
+    out["watertight"] = path
+    return out
+
+
+def run_seq_stage(
+    state: TrainState,
+    step_fn,
+    template: SeqTemplate,
+    frame_targets: Callable[[int], Dict],
+    n_frames: int,
+    cfg: Config,
+    save_path: str,
+    key,
+    model: GeometryModel,
+):
+    """Serial per-frame seq driver (ref train.py:1921-1926 + 1349-1352:
+    frame 0 gets seq_iters_first, later frames seq_iters_rest; capped at
+    seq_max_frames). The frame-parallel variant lives in parallel/frames.py."""
+    os.makedirs(os.path.join(save_path, "delta"), exist_ok=True)
+    n_frames = min(n_frames, cfg.stages.seq_max_frames)
+    timer = StepTimer()
+    logger = ScalarLogger(os.path.join(save_path, "loss_log"))
+    for frame in range(n_frames):
+        iters = (cfg.stages.seq_iters_first if frame == 0
+                 else cfg.stages.seq_iters_rest)
+        target = frame_targets(frame)
+        aux = None
+        for it in range(iters):
+            timer.start()
+            state, aux = step_fn(state, target,
+                                 jax.random.fold_in(key, frame * 100000 + it))
+            timer.stop(aux["total"])
+            if it % cfg.stages.log_interval == 0:
+                scalars = {k: float(v) for k, v in aux.items()
+                           if np.ndim(v) == 0}
+                scalars["time_ms"] = timer.avg_ms
+                logger.log(frame * 100000 + it, scalars)
+                print(f"[seq] frame={frame} iter={it:4d} "
+                      f"total={scalars['total']:.4f} "
+                      f"time={timer.avg_ms:.1f}ms", flush=True)
+        # per-frame delta artifact (ref train.py:1513-1519)
+        posed, delta = jax.jit(model.seq_deformed)(
+            state.params["geometry"], template, state.params["pose"],
+            target["frame_idx"])
+        np.savez(os.path.join(save_path, "delta", f"{frame}.npz"),
+                 delta=np.asarray(delta))
+        mesh_io.write_ply(os.path.join(save_path, f"fine_all_{frame}.ply"),
+                          np.asarray(posed), np.asarray(template.f))
+    logger.close()
+    return state

@@ -1,0 +1,200 @@
+"""CLI: the full 4-stage D3-Human reconstruction pipeline, TPU-native.
+
+Equivalent of /root/reference/train.py:1528-1926:
+
+    python train_d3h.py --config configs/f3c.json --folder_name f3c \
+        --trainset_path ./data --out-dir out/f3c [--synthetic]
+
+Stage graph (ref call stack, SURVEY §3.0):
+    split_smpl -> close_hole -> init -> split -> close_hole+merge -> seq
+with `--synthetic` running the whole pipeline on the built-in synthetic
+scene (no licensed SMPL-X npz / capture data required).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3human_tpu.config import Config, load_config
+from d3human_tpu.data.synthetic import make_scene
+from d3human_tpu.models.geometry import GeometryModel
+from d3human_tpu.models.perceptual import ConvPerceptual
+from d3human_tpu.models.smplx.deformer import SMPLXDeformer
+from d3human_tpu.models.smplx.model import load_smplx_npz, synthetic_body_model
+from d3human_tpu.models.texture import MLPTexture3D
+from d3human_tpu.ops.tet_grid import make_tet_grid
+from d3human_tpu.pipeline.components import process_close_hole
+from d3human_tpu.pipeline.template import build_seq_template, merge_body_cloth
+from d3human_tpu.render import light as light_mod
+from d3human_tpu.train.checkpoint import latest_checkpoint, load_params
+from d3human_tpu.train.stages import (
+    export_stage_meshes, run_seq_stage, run_stage,
+)
+from d3human_tpu.train.step import TrainState, make_train_step
+
+
+def parse_args():
+    p = argparse.ArgumentParser("d3human_tpu")
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--out-dir", dest="out_dir", type=str, default="out/run")
+    p.add_argument("--trainset_path", type=str, default="./data")
+    p.add_argument("--folder_name", type=str, default="")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on the built-in synthetic scene")
+    p.add_argument("--stages", type=str,
+                   default="split_smpl,init,split,seq",
+                   help="comma-separated subset of the stage graph")
+    p.add_argument("--iters-scale", type=float, default=1.0,
+                   help="scale all stage iteration counts (smoke runs)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args.config, overrides={"out_dir": args.out_dir})
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    stages = args.stages.split(",")
+    s = lambda n: max(2, int(n * args.iters_scale))
+
+    key = jax.random.PRNGKey(cfg.seed)
+
+    # ---------------- data + body model ----------------------------------
+    if args.synthetic:
+        scene = make_scene(resolution=tuple(cfg.render.train_res),
+                           n_frames=8)
+        deformer, canon = scene.deformer, scene.canon
+        pose_params = scene.pose_params
+        n_images = scene.n_frames
+        get_target = scene.frame_target
+    else:
+        from d3human_tpu.data.dataset import FrameDataset, composite_background
+        data_root = os.path.join(args.trainset_path, args.folder_name)
+        dataset = FrameDataset(data_root, cfg.render.train_res)
+        gender = args.folder_name.split("/")[-1].split("-")[0] or "neutral"
+        model_sx = load_smplx_npz(os.path.join(args.trainset_path, "smplx"),
+                                  gender=gender)
+        deformer = SMPLXDeformer(model_sx, k=1)
+        shape = jnp.asarray(dataset.smplx_params["shape"])
+        canon = deformer.initialize(shape[:, :model_sx.num_betas])
+        pose_params = {k: jnp.asarray(v)
+                       for k, v in dataset.smplx_params.items()}
+        n_images = dataset.n_images
+        rng = np.random.default_rng(0)
+
+        def get_target(it):
+            t = dataset.frame_target(it)
+            t = composite_background(t, "random", rng)
+            return {k: jnp.asarray(v) for k, v in t.items()}
+
+    # ---------------- model ------------------------------------------------
+    g = cfg.geometry
+    grid = make_tet_grid(
+        res=g.grid_res,
+        bounds=((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5)),
+        y_offset=g.grid_y_offset, scale=g.grid_scale,
+        cache_path=os.path.join(cfg.out_dir, f"tet_grid_{g.grid_res}.npz"))
+    model = GeometryModel(cfg, grid, deformer, canon)
+
+    kG, kT, kL, kRun = jax.random.split(key, 4)
+    gparams = model.init_params(kG, n_images=n_images)
+
+    print("[pretrain] SDF -> template body SDF", flush=True)
+    gt_sdf = model.smpl_template_sdf()
+    gparams, ploss = model.pretrain_sdf(
+        gparams, gt_sdf, steps=cfg.stages.sdf_mlp_pretrain_steps)
+    print(f"[pretrain] done, loss={ploss:.2e}", flush=True)
+    gparams = model.pretrain_nonrigid_zero(
+        gparams, cfg.stages.sdf_deform_pretrain_steps)
+
+    mn = jnp.concatenate([jnp.asarray(cfg.render.kd_min[:3]),
+                          jnp.asarray(cfg.render.ks_min)])
+    mx = jnp.concatenate([jnp.asarray(cfg.render.kd_max[:3]),
+                          jnp.asarray(cfg.render.ks_max)])
+    tex = MLPTexture3D(cfg.texture, (mn, mx))
+    perceptual = ConvPerceptual()
+    perc_params = perceptual.init()
+
+    params = {
+        "geometry": gparams,
+        "pose": pose_params,
+        "material": tex.init(kT),
+        "light": light_mod.create_trainable_env(kL, cfg.render.probe_res),
+    }
+
+    def stage_state(stage):
+        tx, step_fn = make_train_step(stage, model, tex, perceptual,
+                                      perc_params, cfg)
+        return TrainState(params=params, opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32)), step_fn
+
+    # ---------------- stage graph -----------------------------------------
+    if "split_smpl" in stages:
+        state, step_fn = stage_state("split")
+        state = run_stage("split_smpl", s(cfg.stages.split_smpl_epoch), state,
+                          step_fn, get_target, cfg,
+                          os.path.join(cfg.out_dir, "split_smpl"), kRun, model)
+        params = state.params
+        paths = export_stage_meshes(model, params,
+                                    os.path.join(cfg.out_dir, "split_smpl"),
+                                    "final")
+        process_close_hole(os.path.join(cfg.out_dir, "close_hole_smpl"),
+                           paths["body"], paths["cloth"])
+
+    if "init" in stages:
+        params = dict(params)
+        params["geometry"] = model.reinit_fields(
+            jax.random.fold_in(key, 7), params["geometry"])
+        params["geometry"], _ = model.pretrain_sdf(
+            params["geometry"], gt_sdf,
+            steps=cfg.stages.sdf_mlp_pretrain_steps)
+        state, step_fn = stage_state("init")
+        state = run_stage("init", s(cfg.stages.init_epoch), state, step_fn,
+                          get_target, cfg, os.path.join(cfg.out_dir, "init"),
+                          jax.random.fold_in(kRun, 1), model)
+        params = state.params
+
+    process_dir = os.path.join(cfg.out_dir, "processsplit_cloth0")
+    if "split" in stages:
+        state, step_fn = stage_state("split")
+        state = run_stage("split", s(cfg.stages.split_epoch), state, step_fn,
+                          get_target, cfg, os.path.join(cfg.out_dir,
+                                                        "split_cloth0"),
+                          jax.random.fold_in(kRun, 2), model)
+        params = state.params
+        paths = export_stage_meshes(model, params,
+                                    os.path.join(cfg.out_dir, "split_cloth0"),
+                                    "final")
+        ch = process_close_hole(
+            os.path.join(cfg.out_dir, "close_hole_split_cloth0"),
+            paths["body"], paths["cloth"])
+        merge_body_cloth(process_dir, ch["body"], ch["cloth"],
+                         grid_res=min(96, cfg.geometry.grid_res))
+
+    if "seq" in stages:
+        template = build_seq_template(process_dir)
+        tx, step_fn = make_train_step("seq", model, tex, perceptual,
+                                      perc_params, cfg, template=template)
+        state = TrainState(params=params, opt_state=tx.init(params),
+                           step=jnp.zeros((), jnp.int32))
+        cfg_seq = cfg
+        if args.iters_scale != 1.0:
+            cfg_seq = dataclasses.replace(cfg, stages=dataclasses.replace(
+                cfg.stages,
+                seq_iters_first=s(cfg.stages.seq_iters_first),
+                seq_iters_rest=s(cfg.stages.seq_iters_rest)))
+        run_seq_stage(state, step_fn, template, get_target,
+                      n_frames=n_images, cfg=cfg_seq,
+                      save_path=os.path.join(cfg.out_dir, "seq"),
+                      key=jax.random.fold_in(kRun, 3), model=model)
+
+    print("[done]", flush=True)
+
+
+if __name__ == "__main__":
+    main()
