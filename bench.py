@@ -27,6 +27,10 @@ REFERENCE_ITERS_PER_SEC = 3.0   # documented estimate, see module docstring
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+from d3human_tpu.utils.jax_setup import setup as _setup_jax  # noqa: E402
+
+_setup_jax()
+
 
 def build(scale: str):
     from d3human_tpu.config import (

@@ -97,6 +97,8 @@ class SyntheticScene:
             "cloth_img": jnp.concatenate([rgb * cloth_a, cloth_a], axis=-1),
             "body_img": jnp.concatenate([rgb * body_a, body_a], axis=-1),
             "all_normal": gt_normal,
+            "cloth_normal": gt_normal * cloth_a,
+            "body_normal": gt_normal * body_a,
             "background": jnp.zeros((*self.resolution, 3)),
         }
 

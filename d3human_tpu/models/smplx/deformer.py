@@ -47,15 +47,21 @@ class SMPLXDeformer:
     def initialize(self, betas: jnp.ndarray) -> CanonicalState:
         """Build the canonical template: zero pose except a +-pi/36 hip
         spread (ref deformer.py:178-180)."""
-        B = betas.shape[0]
-        body_pose = jnp.zeros((B, 63), betas.dtype)
-        body_pose = body_pose.at[:, 2].set(math.pi / 36)
-        body_pose = body_pose.at[:, 5].set(-math.pi / 36)
-        verts, _, A = self.model.forward(
-            betas=betas,
-            root_pose=jnp.zeros((B, 3), betas.dtype),
-            body_pose=body_pose,
-        )
+
+        @jax.jit
+        def build(betas):
+            B = betas.shape[0]
+            body_pose = jnp.zeros((B, 63), betas.dtype)
+            body_pose = body_pose.at[:, 2].set(math.pi / 36)
+            body_pose = body_pose.at[:, 5].set(-math.pi / 36)
+            verts, _, A = self.model.forward(
+                betas=betas,
+                root_pose=jnp.zeros((B, 3), betas.dtype),
+                body_pose=body_pose,
+            )
+            return verts, A
+
+        verts, A = build(betas)
         return CanonicalState(vs_template=verts, init_A=A)
 
     def interpolate_weights(self, canon: CanonicalState, pts: jnp.ndarray) -> jnp.ndarray:
@@ -76,12 +82,36 @@ class SMPLXDeformer:
         return jnp.einsum("pj,jrc->prc", w_pts, A[0])
 
     @staticmethod
+    def _affine_inverse(M: jnp.ndarray) -> jnp.ndarray:
+        """Closed-form inverse of affine [..., 4, 4] transforms.
+
+        Blended LBS matrices are affine (last row 0 0 0 1 is preserved by
+        convex combination), so inv([R t; 0 1]) = [R^-1, -R^-1 t; 0 1] with
+        R^-1 by adjugate — pure vectorized multiply-adds instead of the
+        batched LU factorization jnp.linalg.inv would lower to (slow on TPU).
+        """
+        R = M[..., :3, :3]
+        t = M[..., :3, 3]
+        c0 = jnp.cross(R[..., :, 1], R[..., :, 2], axis=-1)
+        c1 = jnp.cross(R[..., :, 2], R[..., :, 0], axis=-1)
+        c2 = jnp.cross(R[..., :, 0], R[..., :, 1], axis=-1)
+        det = jnp.sum(R[..., :, 0] * c0, axis=-1, keepdims=True)
+        det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        Rinv = jnp.stack([c0, c1, c2], axis=-2) / det[..., None]
+        tinv = -jnp.einsum("...rc,...c->...r", Rinv, t)
+        top = jnp.concatenate([Rinv, tinv[..., :, None]], axis=-1)
+        bottom = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 0.0, 1.0], M.dtype),
+            top.shape[:-2] + (1, 4))
+        return jnp.concatenate([top, bottom], axis=-2)
+
+    @staticmethod
     def apply_lbs_inverse(pts: jnp.ndarray, A: jnp.ndarray, w_pts: jnp.ndarray,
                           inverse: bool = True) -> jnp.ndarray:
         """Map pts [P,3] by (sum_j w_j A_j)^{+-1} (ref deformer.py:385-421)."""
         M = SMPLXDeformer.blend_transforms(A, w_pts)
         if inverse:
-            M = jnp.linalg.inv(M)
+            M = SMPLXDeformer._affine_inverse(M)
         pts_h = jnp.concatenate([pts, jnp.ones_like(pts[:, :1])], axis=-1)
         out = jnp.einsum("prc,pc->pr", M, pts_h)
         return out[:, :3]

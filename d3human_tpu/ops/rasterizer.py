@@ -347,9 +347,12 @@ def interpolate_face_attr(face_attrs: jnp.ndarray, rast: Rast) -> jnp.ndarray:
 # Antialiasing (silhouette gradients)
 # ---------------------------------------------------------------------------
 
-def _aa_pairs(color, verts_clip, faces, rast, resolution, axis):
-    """Compute AA blend for neighbor pairs along `axis` (1=horizontal pairs,
-    0=vertical). Returns updated color image."""
+def _aa_weights_axis(verts_clip, faces, rast, resolution, axis):
+    """Color-independent AA geometry for neighbor pairs along `axis`:
+    returns (a_wins, spill, recede) with spill/recede already masked by
+    pair-activity. Computed ONCE per rasterization and applied to every
+    composited buffer (the reference antialiases ~11 buffers per frame;
+    the edge geometry is identical across them)."""
     H, W = resolution
     idm = rast.tri_id
     zb = rast.zbuf
@@ -413,30 +416,43 @@ def _aa_pairs(color, verts_clip, faces, rast, resolution, axis):
     # blend: boundary at distance t from winner center; midpoint at 0.5
     #   t > 0.5: winner spills into the loser pixel by (t - 0.5)
     #   t < 0.5: winner's own pixel partially uncovered by (0.5 - t)
-    active = active & has_edge
-    spill = jnp.clip(t - 0.5, 0.0, 0.5)
-    recede = jnp.clip(0.5 - t, 0.0, 0.5)
+    active = (active & has_edge)[..., None]
+    spill = jnp.where(active, jnp.clip(t - 0.5, 0.0, 0.5)[..., None], 0.0)
+    recede = jnp.where(active, jnp.clip(0.5 - t, 0.0, 0.5)[..., None], 0.0)
+    return a_wins[..., None], spill, recede
 
-    if axis == 1:
-        ca, cb = color[:, :-1], color[:, 1:]
-    else:
-        ca, cb = color[:-1, :], color[1:, :]
-    wcol = jnp.where(a_wins[..., None], ca, cb)
-    lcol = jnp.where(a_wins[..., None], cb, ca)
-    act = active[..., None]
-    # per-pair color deltas (a pixel can appear in both its left and right
-    # pair; nvdiffrast accumulates the corrections — so do we)
-    d_l = jnp.where(act, (wcol - lcol) * spill[..., None], 0.0)
-    d_w = jnp.where(act, (lcol - wcol) * recede[..., None], 0.0)
-    d_a = jnp.where(a_wins[..., None], d_w, d_l)
-    d_b = jnp.where(a_wins[..., None], d_l, d_w)
 
-    delta = jnp.zeros_like(color)
-    if axis == 1:
-        delta = delta.at[:, :-1].add(d_a).at[:, 1:].add(d_b)
-    else:
-        delta = delta.at[:-1, :].add(d_a).at[1:, :].add(d_b)
-    return color + delta
+def aa_weights(verts_clip: jnp.ndarray, faces: jnp.ndarray, rast: Rast,
+               resolution: Tuple[int, int]):
+    """Precompute AA blend geometry for both pair directions."""
+    return (
+        _aa_weights_axis(verts_clip, faces, rast, resolution, axis=1),
+        _aa_weights_axis(verts_clip, faces, rast, resolution, axis=0),
+    )
+
+
+def apply_aa(color: jnp.ndarray, weights) -> jnp.ndarray:
+    """Blend one buffer with precomputed AA weights (both directions)."""
+    for axis, (a_wins, spill, recede) in zip((1, 0), weights):
+        if axis == 1:
+            ca, cb = color[:, :-1], color[:, 1:]
+        else:
+            ca, cb = color[:-1, :], color[1:, :]
+        wcol = jnp.where(a_wins, ca, cb)
+        lcol = jnp.where(a_wins, cb, ca)
+        # per-pair deltas (a pixel appears in both its left and right pair;
+        # nvdiffrast accumulates the corrections — so do we)
+        d_l = (wcol - lcol) * spill
+        d_w = (lcol - wcol) * recede
+        d_a = jnp.where(a_wins, d_w, d_l)
+        d_b = jnp.where(a_wins, d_l, d_w)
+        delta = jnp.zeros_like(color)
+        if axis == 1:
+            delta = delta.at[:, :-1].add(d_a).at[:, 1:].add(d_b)
+        else:
+            delta = delta.at[:-1, :].add(d_a).at[1:, :].add(d_b)
+        color = color + delta
+    return color
 
 
 def antialias(color: jnp.ndarray, verts_clip: jnp.ndarray, faces: jnp.ndarray,
@@ -445,10 +461,8 @@ def antialias(color: jnp.ndarray, verts_clip: jnp.ndarray, faces: jnp.ndarray,
     (ref render.py:381 dr.antialias inside composite_buffer).
 
     color: [H, W, C]."""
-    resolution = color.shape[:2]
-    color = _aa_pairs(color, verts_clip, faces, rast, resolution, axis=1)
-    color = _aa_pairs(color, verts_clip, faces, rast, resolution, axis=0)
-    return color
+    return apply_aa(color, aa_weights(verts_clip, faces, rast,
+                                      color.shape[:2]))
 
 
 # ---------------------------------------------------------------------------

@@ -33,8 +33,9 @@ import jax.numpy as jnp
 
 from d3human_tpu.ops import mesh_ops
 from d3human_tpu.ops.rasterizer import (
-    Rast, antialias, barycentrics, interpolate, interpolate_face_attr,
-    rasterize, rasterize_bruteforce, visible_face_mask, xfm_points,
+    Rast, aa_weights, apply_aa, barycentrics, interpolate,
+    interpolate_face_attr, rasterize, rasterize_bruteforce,
+    visible_face_mask, xfm_points,
 )
 
 
@@ -159,15 +160,15 @@ def render_mesh(
         mesh_id = jnp.zeros((*full_res, 1))
 
     # ---- composite + antialias (ref render.py:375-449) --------------------
+    # AA edge geometry is color-independent: computed once, applied to every
+    # buffer (the reference recomputes it inside dr.antialias per buffer).
     ones = jnp.ones_like(alpha)
+    weights = aa_weights(v_clip, faces, rast, full_res)
 
-    def comp(color, bg, aa=True, alpha_out=None):
-        a = alpha_out if alpha_out is not None else alpha
+    def comp(color, bg):
         rgba = jnp.concatenate(
-            [bg + (color - bg) * alpha, a * ones], axis=-1)
-        if aa:
-            rgba = antialias(rgba, v_clip, faces, rast)
-        return rgba
+            [bg + (color - bg) * alpha, alpha * ones], axis=-1)
+        return apply_aa(rgba, weights)
 
     zero3 = jnp.zeros_like(kd)
     shaded = comp(kd, background)
@@ -179,12 +180,12 @@ def render_mesh(
     ksg_b = comp(ks_grad, zero3)
     nrmg_b = comp(nrm_grad, zero3)
     # depth buffers: alpha forced 1 to avoid double blending (ref :180-195)
-    depth_b = antialias(jnp.concatenate(
-        [20.0 + (depth - 20.0) * alpha, ones], axis=-1), v_clip, faces, rast)
-    invd_b = antialias(jnp.concatenate(
-        [invdepth * alpha, ones], axis=-1), v_clip, faces, rast)
-    msdf_b = antialias(jnp.concatenate([msdf_img * alpha, alpha], axis=-1),
-                       v_clip, faces, rast)[..., :1]
+    depth_b = apply_aa(jnp.concatenate(
+        [20.0 + (depth - 20.0) * alpha, ones], axis=-1), weights)
+    invd_b = apply_aa(jnp.concatenate(
+        [invdepth * alpha, ones], axis=-1), weights)
+    msdf_b = apply_aa(jnp.concatenate([msdf_img * alpha, alpha], axis=-1),
+                      weights)[..., :1]
 
     out = MeshBuffers(
         shaded=shaded,

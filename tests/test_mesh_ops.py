@@ -1,0 +1,95 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3human_tpu.ops import mesh_ops
+from d3human_tpu.ops.image_loss import image_loss, make_loss_fn, rgb_to_srgb, srgb_to_rgb, ssim
+from d3human_tpu.ops.mesh_sdf import mesh_sdf
+
+
+def unit_tetra():
+    v = jnp.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], jnp.float32)
+    f = jnp.array([[0, 2, 1], [0, 1, 3], [0, 3, 2], [1, 2, 3]], jnp.int32)
+    return v, f
+
+
+def test_auto_normals_outward():
+    v, f = unit_tetra()
+    n = jax.jit(mesh_ops.auto_normals)(v, f)
+    # vertex 0's normal points away from the centroid
+    centroid = v.mean(0)
+    assert float(jnp.dot(n[0], v[0] - centroid)) > 0
+
+
+def test_laplacian_zero_for_flat_and_positive_for_noise():
+    # flat grid strip: interior vertices are averages of neighbors
+    xs, ys = np.meshgrid(np.arange(6, dtype=np.float32),
+                         np.arange(6, dtype=np.float32))
+    v = np.stack([xs.ravel(), ys.ravel(), np.zeros(36, np.float32)], -1)
+    faces = []
+    for i in range(5):
+        for j in range(5):
+            a = i * 6 + j
+            faces.append([a, a + 1, a + 6])
+            faces.append([a + 1, a + 7, a + 6])
+    f = jnp.asarray(faces, jnp.int32)
+    flat = float(jax.jit(mesh_ops.laplacian_uniform_loss)(jnp.asarray(v), f))
+    noisy = np.array(v)
+    noisy[:, 2] += np.random.default_rng(0).normal(size=36) * 0.1
+    rough = float(jax.jit(mesh_ops.laplacian_uniform_loss)(
+        jnp.asarray(noisy, jnp.float32), f))
+    assert rough > flat
+    assert flat < 0.2  # boundary effects only
+
+
+def test_normal_consistency():
+    v, f = unit_tetra()
+    pairs, _ = mesh_ops.find_connected_faces(np.asarray(f))
+    assert pairs.shape == (6, 2)
+    loss = float(jax.jit(mesh_ops.normal_consistency_loss)(
+        v, f, jnp.asarray(pairs, jnp.int32)))
+    assert loss > 0  # a tetra has sharp edges
+
+
+def test_sample_points_on_surface():
+    v, f = unit_tetra()
+    pts = jax.jit(lambda k: mesh_ops.sample_points_on_mesh(k, v, f, 256))(
+        jax.random.PRNGKey(0))
+    assert pts.shape == (256, 3)
+    d = np.abs(np.asarray(mesh_sdf(pts, v, f)))
+    assert d.max() < 1e-3  # samples lie on the surface
+
+
+def test_mesh_sdf_sign_and_distance():
+    v, f = unit_tetra()
+    q = jnp.array([[0.2, 0.2, 0.2],     # inside
+                   [2.0, 2.0, 2.0],     # outside
+                   [0.1, 0.1, -0.5]])   # outside below
+    d = np.asarray(jax.jit(lambda q: mesh_sdf(q, v, f, k=4))(q))
+    assert d[0] < 0 and d[1] > 0 and d[2] > 0
+    np.testing.assert_allclose(d[2], 0.5, atol=0.02)
+
+
+def test_connected_components():
+    f = np.array([[0, 1, 2], [2, 1, 3], [4, 5, 6]])
+    labels = mesh_ops.connected_components(f, 7)
+    assert labels[0] == labels[3]
+    assert labels[0] != labels[4]
+
+
+def test_image_losses_and_srgb():
+    x = jnp.linspace(0, 1, 16).reshape(1, 4, 4, 1).repeat(3, -1)
+    np.testing.assert_allclose(
+        np.asarray(srgb_to_rgb(rgb_to_srgb(x))), np.asarray(x), atol=1e-5)
+    assert float(image_loss(x, x, "l1", "log_srgb")) == 0.0
+    for name in ("logl1", "logl2", "mse", "smape", "relmse"):
+        fn = make_loss_fn(name)
+        assert float(fn(x, x * 0.9)) > 0
+
+
+def test_ssim_identity():
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3))
+    s = float(jax.jit(ssim)(img, img))
+    assert abs(s - 1.0) < 1e-4
+    s2 = float(jax.jit(ssim)(img, 1.0 - img))
+    assert s2 < 0.5

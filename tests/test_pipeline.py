@@ -1,0 +1,107 @@
+"""Host-side template processing tests (pipeline/)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from d3human_tpu.pipeline.components import (
+    head_bbox, process_close_hole, reassign_components, split_components,
+)
+from d3human_tpu.pipeline.template import merge_body_cloth, rewatertight
+from d3human_tpu.utils import io as mesh_io
+
+
+def icosphere(radius=0.5, center=(0, 0, 0), n=1):
+    """Simple subdivided octahedron sphere."""
+    v = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                  [0, -1, 0], [0, 0, 1], [0, 0, -1]], np.float64)
+    f = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                  [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]])
+    for _ in range(n):
+        nv = list(map(tuple, v))
+        index = {t: i for i, t in enumerate(nv)}
+        nf = []
+
+        def mid(a, b):
+            m = tuple((np.asarray(a) + np.asarray(b)) / 2)
+            if m not in index:
+                index[m] = len(nv)
+                nv.append(m)
+            return index[m]
+
+        for tri in f:
+            a, b, c = (tuple(v[i]) for i in tri)
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            ia, ib, ic = index[a], index[b], index[c]
+            nf += [[ia, ab, ca], [ab, ib, bc], [ca, bc, ic], [ab, bc, ca]]
+        v = np.asarray(nv)
+        f = np.asarray(nf)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True) * radius + np.asarray(center)
+    return v.astype(np.float32), f.astype(np.int64)
+
+
+def test_split_components_counts():
+    v1, f1 = icosphere()
+    v2, f2 = icosphere(center=(2, 0, 0))
+    v = np.concatenate([v1, v2])
+    f = np.concatenate([f1, f2 + len(v1)])
+    comps = split_components(v, f)
+    assert len(comps) == 2
+    assert len(comps[0][1]) == len(f1)
+
+
+def test_reassign_moves_stray_island():
+    # body = sphere at origin; cloth = sphere shell at origin + a stray
+    # island far from cloth but next to the body -> island joins the body
+    bv, bf = icosphere(radius=0.5)
+    cv1, cf1 = icosphere(radius=0.6)
+    cv2, cf2 = icosphere(radius=0.1, center=(0.45, 0, 0), n=2)
+    cv = np.concatenate([cv1, cv2])
+    cf = np.concatenate([cf1, cf2 + len(cv1)])
+    nbv, nbf, ncv, ncf = reassign_components(bv, bf, cv, cf,
+                                             min_keep_faces=10)
+    assert len(ncf) == len(cf1)          # cloth kept only its main comp
+    assert len(nbf) == len(bf) + len(cf2)  # body gained the island
+
+
+def test_head_bbox():
+    v = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32)
+    bbox = head_bbox(v, top_fraction=0.2)
+    assert bbox.shape == (2, 3)
+    assert (bbox[1] >= bbox[0]).all()
+
+
+def test_rewatertight_sphere():
+    v, f = icosphere(radius=0.4, n=2)
+    # poke a hole: drop some faces
+    holey = f[:-20]
+    wv, wf = rewatertight(v, holey, grid_res=24, max_verts=8192,
+                          max_tets=8192)
+    assert len(wf) > 100
+    # closed: every edge shared by exactly 2 faces
+    e = np.sort(wf[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2), axis=1)
+    _, counts = np.unique(e, axis=0, return_counts=True)
+    assert (counts == 2).all()
+    r = np.linalg.norm(wv[np.unique(wf)], axis=1)
+    assert abs(np.median(r) - 0.4) < 0.06
+
+
+def test_merge_body_cloth(tmp_path):
+    bv, bf = icosphere(radius=0.4, n=2)
+    cv, cf = icosphere(radius=0.45, n=2)
+    cf = cf[np.asarray([c[1] > 0 for c in cv[cf].mean(1)])]  # top half shell
+    body_obj = os.path.join(tmp_path, "body.obj")
+    cloth_obj = os.path.join(tmp_path, "cloth.obj")
+    mesh_io.write_obj(body_obj, bv, bf)
+    mesh_io.write_obj(cloth_obj, cv, cf)
+    out = merge_body_cloth(str(tmp_path), body_obj, cloth_obj, grid_res=24)
+    z = np.load(out["mesh"])
+    assert set(z.keys()) >= {"v", "f", "face_labels"}
+    assert (z["face_labels"] == 1).sum() == len(cf)
+    idx = np.load(out["indices"])
+    n_body_v = len(z["v"]) - len(cv)
+    assert len(idx["inside_body_index"]) + len(idx["outside_body_index"]) == n_body_v
+    # covered body verts (top) are "inside"
+    assert len(idx["inside_body_index"]) > 0
+    assert len(idx["outside_body_index"]) > 0

@@ -21,6 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from d3human_tpu.utils.jax_setup import setup as _setup_jax
+
+_setup_jax()
+
 from d3human_tpu.config import Config, load_config
 from d3human_tpu.data.synthetic import make_scene
 from d3human_tpu.models.geometry import GeometryModel
