@@ -48,7 +48,8 @@ class ExtractedMeshes(NamedTuple):
 @dataclasses.dataclass(frozen=True)
 class SeqTemplate:
     """Static merged body+cloth template for the seq stage (built between
-    stages by the host pipeline, ref train.py:1865-1918)."""
+    stages by the host pipeline, ref train.py:1865-1918). Pytree-registered
+    so the template arrays enter jitted steps as arguments."""
 
     v: jnp.ndarray                # [Vt, 3] base vertices
     f: jnp.ndarray                # [Ft, 3]
@@ -60,13 +61,44 @@ class SeqTemplate:
     connected_faces: jnp.ndarray  # [P, 2]
 
 
+jax.tree_util.register_pytree_node(
+    SeqTemplate,
+    lambda t: ((t.v, t.f, t.v_labels, t.face_labels, t.body_vidx,
+                t.cloth_vidx, t.body_f, t.connected_faces), None),
+    lambda aux, ch: SeqTemplate(*ch),
+)
+
+
 class GeometryModel:
+    """Static module container. The large data arrays (tet grid topology,
+    SMPL-X tables, canonical state) are *pytree constants* that must enter
+    jitted programs as arguments — ``consts()`` packages them and ``bind``
+    rebinds traced versions inside a jit (otherwise XLA bakes hundreds of
+    MB of constants into the executable)."""
+
     def __init__(self, cfg: Config, grid: TetGrid, deformer: SMPLXDeformer,
                  canon: CanonicalState):
         self.cfg = cfg
         self.grid = grid
         self.deformer = deformer
         self.canon = canon
+        self._finish_init()
+
+    def consts(self) -> dict:
+        return {"grid": self.grid, "canon": self.canon,
+                "smplx": self.deformer.model}
+
+    def bind(self, consts: dict) -> "GeometryModel":
+        import copy
+
+        m = copy.copy(self)
+        m.grid = consts["grid"]
+        m.canon = consts["canon"]
+        m.deformer = SMPLXDeformer(consts["smplx"], k=self.deformer.k)
+        return m
+
+    def _finish_init(self):
+        cfg = self.cfg
         f = cfg.field
         self.sdf_mlp = MLP(n_freq=f.n_freq, d_hidden=f.d_hidden,
                            n_hidden=f.n_hidden, skip_in=f.skip_in,
@@ -190,11 +222,9 @@ class GeometryModel:
         opt = optax.adam(lr)
         net = params["sdf_net"]
         state = opt.init(net)
-        verts = self.grid.verts
-        tgt = target_sdf.reshape(-1)
 
         @jax.jit
-        def run(net, state):
+        def run(net, state, verts, tgt):
             def step(carry, _):
                 net, state = carry
 
@@ -211,7 +241,8 @@ class GeometryModel:
                                                 length=steps)
             return net, losses[-1]
 
-        net, final_loss = run(net, state)
+        net, final_loss = run(net, state, self.grid.verts,
+                              target_sdf.reshape(-1))
         out = dict(params)
         out["sdf_net"] = net
         return out, float(final_loss)
@@ -236,11 +267,10 @@ class GeometryModel:
         opt = optax.adam(lr)
         net = params[which]
         state = opt.init(net)
-        verts = self.grid.verts
         code = jnp.zeros((1, 1, self.cfg.field.pose_code_dim))
 
         @jax.jit
-        def run(net, state):
+        def run(net, state, verts):
             def step(carry, _):
                 net, state = carry
 
@@ -257,7 +287,7 @@ class GeometryModel:
                                                 length=steps)
             return net, losses[-1]
 
-        net, _ = run(net, state)
+        net, _ = run(net, state, self.grid.verts)
         out = dict(params)
         out[which] = net
         return out

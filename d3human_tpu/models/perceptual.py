@@ -71,6 +71,39 @@ class ConvPerceptual:
         return sum(losses) / len(losses)
 
 
+class LPIPSLike:
+    """LPIPS-style perceptual distance: unit-normalized channel activations
+    compared by squared difference with learned-slot linear weights,
+    averaged over taps and space. Capability slot for the reference's
+    vendored-but-unused LPIPS package (/root/reference/third_parties/lpips/,
+    SURVEY §2 quirks); weights default to uniform, loadable from an npz
+    converted from the official release."""
+
+    def __init__(self, channels: Sequence[int] = (24, 48, 96), seed: int = 11):
+        self.backbone = ConvPerceptual(channels=channels, seed=seed)
+
+    def init(self, weights_npz: Optional[str] = None) -> Params:
+        params = {"backbone": self.backbone.init()}
+        params["lin"] = [jnp.ones((c,)) / c for c in self.backbone.channels]
+        if weights_npz is not None and os.path.exists(weights_npz):
+            import numpy as _np
+            z = _np.load(weights_npz)
+            params["lin"] = [jnp.asarray(z[f"lin_{i}"])
+                             for i in range(len(self.backbone.channels))]
+        return params
+
+    def distance(self, params: Params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        fx = self.backbone.features(params["backbone"], x)
+        fy = self.backbone.features(params["backbone"], y)
+        total = 0.0
+        for a, b, w in zip(fx, fy, params["lin"]):
+            na = a / jnp.sqrt(jnp.sum(a * a, -1, keepdims=True) + 1e-10)
+            nb = b / jnp.sqrt(jnp.sum(b * b, -1, keepdims=True) + 1e-10)
+            d = (na - nb) ** 2
+            total = total + jnp.mean(jnp.sum(d * w, axis=-1))
+        return total / len(fx)
+
+
 def random_crop_pair(key, img_a: jnp.ndarray, img_b: jnp.ndarray,
                      crop: int) -> tuple:
     """Identical random crop of two NHWC images

@@ -39,6 +39,13 @@ class CanonicalState:
     init_A: jnp.ndarray        # [1, J, 4, 4]
 
 
+jax.tree_util.register_pytree_node(
+    CanonicalState,
+    lambda c: ((c.vs_template, c.init_A), None),
+    lambda aux, ch: CanonicalState(*ch),
+)
+
+
 class SMPLXDeformer:
     def __init__(self, model: SMPLXModel, k: int = 1):
         self.model = model

@@ -19,6 +19,7 @@ import dataclasses
 import os
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,7 +39,11 @@ SMPLX_PARENTS = (
 
 @dataclasses.dataclass(frozen=True)
 class SMPLXModel:
-    """Static model data. All arrays are jnp (device) arrays."""
+    """Static model data. All arrays are jnp (device) arrays.
+
+    Registered as a pytree (array leaves; faces/parents/nums are aux) so
+    the blendshape/regressor tables travel as jit arguments instead of
+    multi-MB HLO constants."""
 
     v_template: jnp.ndarray      # [V, 3]
     shapedirs: jnp.ndarray       # [V, 3, n_betas + n_expr]
@@ -116,6 +121,16 @@ class SMPLXModel:
             verts = verts + transl[:, None, :]
             joints = joints + transl[:, None, :]
         return verts, joints, A
+
+
+jax.tree_util.register_pytree_node(
+    SMPLXModel,
+    lambda m: ((m.v_template, m.shapedirs, m.posedirs, m.J_regressor,
+                m.lbs_weights),
+               (m.faces, m.parents, m.num_betas, m.num_expr)),
+    lambda aux, ch: SMPLXModel(*ch, faces=aux[0], parents=aux[1],
+                               num_betas=aux[2], num_expr=aux[3]),
+)
 
 
 def load_smplx_npz(model_path: str, gender: str = "neutral",

@@ -22,6 +22,7 @@ import dataclasses
 import os
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,7 +45,12 @@ _KUHN_PATHS = (
 
 @dataclasses.dataclass(frozen=True)
 class TetGrid:
-    """Static tet-grid topology (device arrays; host ``faces`` not needed)."""
+    """Static tet-grid topology (device arrays; host ``faces`` not needed).
+
+    Registered as a JAX pytree so the (large) topology arrays are passed to
+    jitted steps as *arguments*, never baked into the HLO as constants —
+    at 128^3 the tets/edge tables are hundreds of MB and would otherwise
+    bloat every compile (and overflow remote-compile transports)."""
 
     verts: jnp.ndarray       # [N, 3] f32 lattice positions (transformed)
     tets: jnp.ndarray        # [T, 4] i32
@@ -62,6 +68,13 @@ class TetGrid:
     @property
     def n_edges(self) -> int:
         return self.edges.shape[0] - 1
+
+
+jax.tree_util.register_pytree_node(
+    TetGrid,
+    lambda g: ((g.verts, g.tets, g.edges, g.tet_edges), None),
+    lambda aux, ch: TetGrid(*ch),
+)
 
 
 def _lattice(res: Tuple[int, int, int], bounds) -> Tuple[np.ndarray, np.ndarray]:

@@ -66,8 +66,10 @@ def make_parallel_seq_runner(
                         cfg.optim.hashgrid_grad_scale,
                         cfg.optim.light_grad_scale)
 
-    def optimize_one_frame(params, target, key):
+    def optimize_one_frame(consts, params, target, key):
         """Full n_iters optimization of ONE frame as a lax.scan."""
+        bound = model.bind(consts["model"])
+        tmpl = consts["template"]
         opt_state = tx.init(params)
 
         def step(carry, it):
@@ -75,9 +77,9 @@ def make_parallel_seq_runner(
 
             def loss_fn(p):
                 out = L.tick_seq(
-                    jax.random.fold_in(key, it), model, p["geometry"],
+                    jax.random.fold_in(key, it), bound, p["geometry"],
                     p["pose"], tex_module, p["material"], perceptual,
-                    perc_params, template, target, it, cfg, raster_opts)
+                    perc_params, tmpl, target, it, cfg, raster_opts)
                 return out["total"], out
 
             (total, aux), grads = jax.value_and_grad(
@@ -92,20 +94,25 @@ def make_parallel_seq_runner(
         return params, totals
 
     frames_sharding = shard_leading(mesh, mesh.axis_names[0])
+    repl = replicated(mesh)
+    consts = {"model": model.consts(), "template": template}
 
-    @functools.partial(jax.jit,
-                       in_shardings=(frames_sharding, frames_sharding, None),
-                       out_shardings=(frames_sharding, frames_sharding))
-    def run(per_frame_params, stacked_targets, key):
+    @functools.partial(
+        jax.jit,
+        in_shardings=(frames_sharding, frames_sharding, None, repl),
+        out_shardings=(frames_sharding, frames_sharding))
+    def run(per_frame_params, stacked_targets, key, consts):
         keys = jax.random.split(key, n_frames)
-        return jax.vmap(optimize_one_frame)(
-            per_frame_params, stacked_targets, keys)
+        return jax.vmap(optimize_one_frame,
+                        in_axes=(None, 0, 0, 0))(
+            consts, per_frame_params, stacked_targets, keys)
 
     def launch(shared_params, stacked_targets, key):
         per_frame = replicate_for_frames(shared_params, n_frames)
         per_frame = put_sharded(per_frame, frames_sharding)
         stacked_targets = put_sharded(stacked_targets, frames_sharding)
-        return run(per_frame, stacked_targets, key)
+        consts_dev = put_sharded(consts, repl)
+        return run(per_frame, stacked_targets, key, consts_dev)
 
     return launch, mesh
 

@@ -82,15 +82,16 @@ def export_stage_meshes(model: GeometryModel, params: Dict, save_path: str,
     """Dump cloth/body/watertight template meshes as objs (ref split drivers
     write split_{body,cloth}_imesh_*.obj, train.py:977-989). Returns paths."""
     out = {}
-    extract = jax.jit(lambda p, s: model.extract(p, s))
+    consts = model.consts()
+    extract = jax.jit(lambda c, p, s: model.bind(c).extract(p, s))
     for name, sign in (("cloth", 1.0), ("body", -1.0)):
-        mesh, _ = extract(params["geometry"], sign)
+        mesh, _ = extract(consts, params["geometry"], sign)
         v, f = mesh_io.compact_mesh(mesh.verts, mesh.faces, mesh.face_valid)
         path = os.path.join(save_path, f"split_{name}_imesh_{tag}.obj")
         mesh_io.write_obj(path, v, f)
         out[name] = path
     # watertight template
-    mesh, _ = jax.jit(lambda p: model.extract(p, 1.0))(params["geometry"])
+    mesh, _ = extract(consts, params["geometry"], 1.0)
     v, f = mesh_io.compact_mesh(mesh.verts_wt, mesh.faces_wt,
                                 mesh.face_wt_valid)
     path = os.path.join(save_path, f"watertight_imesh_{tag}.obj")
@@ -136,9 +137,10 @@ def run_seq_stage(
                       f"total={scalars['total']:.4f} "
                       f"time={timer.avg_ms:.1f}ms", flush=True)
         # per-frame delta artifact (ref train.py:1513-1519)
-        posed, delta = jax.jit(model.seq_deformed)(
-            state.params["geometry"], template, state.params["pose"],
-            target["frame_idx"])
+        posed, delta = jax.jit(
+            lambda c, g, t, p, i: model.bind(c).seq_deformed(g, t, p, i))(
+            model.consts(), state.params["geometry"], template,
+            state.params["pose"], target["frame_idx"])
         np.savez(os.path.join(save_path, "delta", f"{frame}.npz"),
                  delta=np.asarray(delta))
         mesh_io.write_ply(os.path.join(save_path, f"fine_all_{frame}.ply"),

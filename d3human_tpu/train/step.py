@@ -61,35 +61,45 @@ def make_train_step(stage: str, model: GeometryModel, tex_module,
                         cfg.optim.hashgrid_grad_scale,
                         cfg.optim.light_grad_scale)
 
-    def loss_fn(params, target, it, key):
+    def loss_fn(bound_model, tmpl, params, target, it, key):
         g = params["geometry"]
         pose = params["pose"]
         mat = params["material"]
         if stage == "init":
-            out = L.tick_init(key, model, g, pose, tex_module, mat,
+            out = L.tick_init(key, bound_model, g, pose, tex_module, mat,
                               perceptual, perc_params, target, it, cfg,
                               raster_opts)
         elif stage == "split":
-            out = L.tick_split(key, model, g, pose, tex_module, mat,
+            out = L.tick_split(key, bound_model, g, pose, tex_module, mat,
                                perceptual, perc_params, target, it, cfg,
                                raster_opts)
         elif stage == "seq":
-            out = L.tick_seq(key, model, g, pose, tex_module, mat,
-                             perceptual, perc_params, template, target, it,
+            out = L.tick_seq(key, bound_model, g, pose, tex_module, mat,
+                             perceptual, perc_params, tmpl, target, it,
                              cfg, raster_opts)
         else:
             raise ValueError(stage)
         return out["total"], out
 
+    # Large static data (grid topology, SMPL-X tables, canonical state,
+    # seq template) enters the jit as ARGUMENTS — never as HLO constants.
+    consts = {"model": model.consts(), "template": template}
+
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def step_fn(state: TrainState, target, key):
+    def _step(state: TrainState, target, key, consts):
+        bound = model.bind(consts["model"])
         (total, aux), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, target, state.step, key)
+            loss_fn, argnums=2, has_aux=True)(
+                bound, consts["template"], state.params, target, state.step,
+                key)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         params = _post_step(params, model)
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1)
         return new_state, aux
+
+    def step_fn(state, target, key):
+        return _step(state, target, key, consts)
 
     return tx, step_fn

@@ -1,0 +1,97 @@
+"""Auxiliary component tests: denoiser, Texture2D, metrics, LPIPS-like,
+materials IO, tetrahedralization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3human_tpu.models.perceptual import ConvPerceptual, LPIPSLike
+from d3human_tpu.ops.denoiser import BilateralDenoiser, bilateral_denoise
+from d3human_tpu.render.material import get_parameters, load_mtl, save_mtl
+from d3human_tpu.render.texture2d import Texture2D, build_mips
+from d3human_tpu.utils.metrics import chamfer_distance, iou, psnr
+
+
+def test_bilateral_denoiser_smooths_noise_preserves_edges():
+    H = W = 24
+    rng = np.random.default_rng(0)
+    edge = (np.arange(W) > W // 2).astype(np.float32)
+    clean = np.tile(edge, (H, 1))[..., None].repeat(3, -1)
+    noisy = clean + rng.normal(size=clean.shape).astype(np.float32) * 0.1
+    normal = np.zeros((H, W, 3), np.float32)
+    normal[..., 2] = 1.0
+    # depth differs across the edge -> guidance preserves it
+    depth = np.tile(edge, (H, 1))[..., None].astype(np.float32)
+    out = jax.jit(bilateral_denoise)(jnp.asarray(noisy), jnp.asarray(normal),
+                                     jnp.asarray(depth))
+    noise_before = np.abs(noisy - clean).mean()
+    noise_after = np.abs(np.asarray(out) - clean).mean()
+    assert noise_after < 0.5 * noise_before
+    d = BilateralDenoiser()
+    d.set_influence(0.5)
+    assert d.influence == 0.5
+
+
+def test_texture2d_mips_and_sampling():
+    tex = Texture2D(min_max=([0, 0, 0], [1, 1, 1]))
+    params = tex.init(jax.random.PRNGKey(0), (16, 16))
+    mips = build_mips(params["data"])
+    assert mips[-1].shape[0] == 1
+    uv = jnp.array([[[0.5, 0.5]]])
+    fine = tex.sample(params, uv, 0.0)
+    coarse = tex.sample(params, uv, float(len(mips) - 1))
+    np.testing.assert_allclose(np.asarray(coarse)[0, 0],
+                               np.asarray(params["data"].mean((0, 1))),
+                               atol=1e-5)
+    assert fine.shape == (1, 1, 3)
+
+
+def test_metrics():
+    a = jnp.zeros((64, 3))
+    b = jnp.zeros((64, 3)).at[:, 0].add(0.1)
+    cd = float(jax.jit(chamfer_distance)(a, b))
+    np.testing.assert_allclose(cd, 2 * 0.01, rtol=1e-4)
+    img = jnp.zeros((8, 8, 3))
+    assert float(psnr(img, img + 0.1)) < float(psnr(img, img + 0.01))
+    m = jnp.zeros((4, 4)).at[:2].set(1.0)
+    assert float(iou(m, m)) == 1.0
+
+
+def test_lpips_like():
+    lp = LPIPSLike(channels=(4, 8))
+    params = lp.init()
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    d0 = float(jax.jit(lp.distance)(params, x, x))
+    d1 = float(jax.jit(lp.distance)(params, x, 1.0 - x))
+    assert d0 < 1e-8
+    assert d1 > d0
+
+
+def test_material_io(tmp_path):
+    mat = {"name": "m0", "bsdf": "kd",
+           "kd": np.asarray([0.5, 0.25, 0.125], np.float32)}
+    p = str(tmp_path / "test.mtl")
+    save_mtl(p, mat)
+    loaded = load_mtl(p)[0]
+    assert loaded["bsdf"] == "kd"
+    np.testing.assert_allclose(loaded["kd"], mat["kd"])
+    assert get_parameters({"kd_ks": {"table": 1}, "bsdf": "kd"}) == {
+        "kd_ks": {"table": 1}}
+
+
+def test_tetrahedralize_interior():
+    from d3human_tpu.pipeline.tetrahedralize import tetrahedralize_interior
+    from tests.test_pipeline import icosphere
+
+    v, f = icosphere(radius=0.4, n=2)
+    tv, tt = tetrahedralize_interior(v, f, grid_res=12, band=0.05)
+    assert len(tt) > 50
+    # tet vertices stay inside-or-near the sphere
+    r = np.linalg.norm(tv, axis=1)
+    assert r.max() < 0.4 + 0.15
+    # volume sanity: the crust covers the sphere and its band — total tet
+    # volume between 1x and ~2.5x the sphere volume (band + cell inflation)
+    a, b, c, d = (tv[tt[:, i]] for i in range(4))
+    vol = np.abs(np.einsum("ij,ij->i", np.cross(b - a, c - a), d - a)) / 6
+    sphere_vol = 4 / 3 * np.pi * 0.4 ** 3
+    assert 0.9 * sphere_vol < vol.sum() < 2.6 * sphere_vol
