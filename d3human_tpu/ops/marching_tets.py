@@ -35,7 +35,49 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from d3human_tpu.ops.tet_grid import TetGrid
+from d3human_tpu.ops.tet_grid import (
+    EDGE_CLASSES, KUHN_PATHS, TetGrid,
+)
+
+
+def _structured_crossing(occ3: jnp.ndarray) -> jnp.ndarray:
+    """Edge-crossing flags for ALL lattice edges in class-major order via
+    shifted-slice comparisons — zero gathers (see ops/tet_grid.py docs)."""
+    vx, vy, vz = occ3.shape
+    parts = []
+    for (dx, dy, dz) in EDGE_CLASSES:
+        a = occ3[: vx - dx, : vy - dy, : vz - dz]
+        b = occ3[dx:, dy:, dz:]
+        parts.append((a != b).reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def _structured_valid_tets(occ3: jnp.ndarray) -> jnp.ndarray:
+    """Sign-mixed flags for all tets (cell-major, 6 per cell) via sliced
+    corner sums — zero gathers."""
+    vx, vy, vz = occ3.shape
+    rx, ry, rz = vx - 1, vy - 1, vz - 1
+    per_type = []
+    occ_i = occ3.astype(jnp.int8)
+    for path in KUHN_PATHS:
+        s = None
+        for (px, py, pz) in path:
+            c = occ_i[px: px + rx, py: py + ry, pz: pz + rz]
+            s = c if s is None else s + c
+        per_type.append((s > 0) & (s < 4))
+    # [6, rx, ry, rz] -> cell-major x tet-type order (id = cell*6 + k)
+    v = jnp.stack(per_type, axis=-1)          # [rx, ry, rz, 6]
+    return v.reshape(-1)
+
+
+def _structured_sdf_pairs(sdf3: jnp.ndarray):
+    """(sdf_a, sdf_b) over all edges, class-major — for the sign-flip reg."""
+    vx, vy, vz = sdf3.shape
+    pa, pb = [], []
+    for (dx, dy, dz) in EDGE_CLASSES:
+        pa.append(sdf3[: vx - dx, : vy - dy, : vz - dz].reshape(-1))
+        pb.append(sdf3[dx:, dy:, dz:].reshape(-1))
+    return jnp.concatenate(pa), jnp.concatenate(pb)
 
 # --- level-1 tables: SDF marching tets (16 sign cases -> up to 2 triangles
 # over the 6 tet edges, base_tet_edges order). Case bit i = occ(vert i)*2^i.
@@ -172,8 +214,12 @@ def gshell_extract(
 
     # ---- level 1: vertices on SDF-crossing grid edges --------------------
     occ = sdf > 0
-    e0, e1 = grid.edges[:E, 0], grid.edges[:E, 1]
-    crossing = occ[e0] != occ[e1]
+    if grid.dims is not None:
+        # structured lattice: crossing flags by shifted slices (gather-free)
+        crossing = _structured_crossing(occ.reshape(grid.vert_dims))
+    else:
+        e0, e1 = grid.edges[:E, 0], grid.edges[:E, 1]
+        crossing = occ[e0] != occ[e1]
     (vert_slots,) = jnp.nonzero(crossing, size=MV, fill_value=E)
     vert_ok = vert_slots < E
 
@@ -195,16 +241,22 @@ def gshell_extract(
         jnp.arange(MV, dtype=jnp.int32))
 
     # ---- level 1: sign-mixed tets -> case ids + faces --------------------
-    occ4 = occ[grid.tets]                                          # [T, 4]
-    occ_sum = jnp.sum(occ4, axis=-1)
-    valid_tet = (occ_sum > 0) & (occ_sum < 4)
     T = grid.n_tets
+    if grid.dims is not None:
+        valid_tet = _structured_valid_tets(occ.reshape(grid.vert_dims))
+    else:
+        occ4_all = occ[grid.tets]                                  # [T, 4]
+        occ_sum = jnp.sum(occ4_all, axis=-1)
+        valid_tet = (occ_sum > 0) & (occ_sum < 4)
     (tet_slots,) = jnp.nonzero(valid_tet, size=MT, fill_value=T)
     tet_ok = tet_slots < T
     tet_slots_c = jnp.clip(tet_slots, 0, T - 1)
 
+    # per-COMPACTED-tet corner occupancy (cheap MT-sized gathers)
+    tets_c = grid.tets[tet_slots_c]                                # [MT, 4]
+    occ4 = occ[tets_c]
     powers = jnp.asarray([1, 2, 4, 8], jnp.int32)
-    tcase = jnp.sum(occ4[tet_slots_c].astype(jnp.int32) * powers, axis=-1)
+    tcase = jnp.sum(occ4.astype(jnp.int32) * powers, axis=-1)
     tcase = jnp.where(tet_ok, tcase, 0)
     idx_map = edge2slot[grid.tet_edges[tet_slots_c]]               # [MT, 6]
 
@@ -315,10 +367,14 @@ def sdf_reg_loss(sdf: jnp.ndarray, grid: TetGrid) -> jnp.ndarray:
     """Sign-flip BCE regularizer over grid edges
     (ref geometry/hmsdf.py:162-170): for every edge whose endpoint SDFs
     disagree in sign, pushes each endpoint's logit toward the other's sign.
-    Masked mean over crossing edges only."""
-    E = grid.n_edges
-    a = sdf[grid.edges[:E, 0]]
-    b = sdf[grid.edges[:E, 1]]
+    Masked mean over crossing edges only. Structured grids use shifted-slice
+    endpoint pairs (gather-free)."""
+    if grid.dims is not None:
+        a, b = _structured_sdf_pairs(sdf.reshape(grid.vert_dims))
+    else:
+        E = grid.n_edges
+        a = sdf[grid.edges[:E, 0]]
+        b = sdf[grid.edges[:E, 1]]
     mask = jnp.sign(a) != jnp.sign(b)
 
     def bce(logit, target):

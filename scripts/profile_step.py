@@ -52,9 +52,6 @@ def main():
     # composed levels through public entry points:
     print(f"== scale: {scale} ==")
 
-    timeit("full train step", lambda: step_fn(state, target,
-                                              jax.random.PRNGKey(0))[1]["total"])
-
     # component-level: rebuild a model identical to bench's
     import dataclasses
     import numpy as np
@@ -112,6 +109,16 @@ def main():
 
     timeit("rasterize (bin+resolve)", jax.jit(rast_fn), mesh.verts,
            mesh.faces, mesh.face_valid)
+
+    # full step LAST: it donates params/state buffers
+    box = {"state": state}
+
+    def one_step():
+        box["state"], aux = step_fn(box["state"], target,
+                                    jax.random.PRNGKey(0))
+        return aux["total"]
+
+    timeit("full train step", one_step)
 
 if __name__ == "__main__":
     main()

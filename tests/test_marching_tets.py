@@ -157,3 +157,49 @@ def test_sdf_reg_loss(grid):
     f = jax.jit(lambda s: sdf_reg_loss(s, grid))
     assert float(f(sphere_sdf(grid.verts))) > 0
     assert float(f(jnp.ones(grid.n_verts))) == 0.0
+
+
+def test_structured_topology_matches_generic_unique():
+    """The class-major structured edge list must contain exactly the unique
+    sorted edges a torch.unique-style pass would produce, and per-tet edge
+    ids must dereference to the tet's own vertex pairs."""
+    from d3human_tpu.ops.tet_grid import _unique_edges_generic
+
+    g = make_tet_grid(res=(3, 4, 2), bounds=((-0.5,) * 3, (0.5,) * 3),
+                      y_offset=0.0, scale=1.0)
+    assert g.dims == (3, 4, 2)
+    edges = np.asarray(g.edges[:-1])
+    gen_edges, _ = _unique_edges_generic(np.asarray(g.tets, np.int64))
+    a = {tuple(sorted(e)) for e in edges}
+    b = {tuple(sorted(e)) for e in gen_edges}
+    assert a == b
+    assert len(edges) == len(gen_edges)
+    te = np.asarray(g.tet_edges)
+    tets = np.asarray(g.tets)
+    from itertools import combinations
+    for t in range(0, g.n_tets, 7):
+        got = {tuple(sorted(edges[e])) for e in te[t]}
+        expect = {tuple(sorted(p)) for p in combinations(tets[t], 2)}
+        assert got == expect
+
+
+def test_structured_crossing_matches_gather(grid):
+    """Slice-based crossing/valid flags == gather-based ones."""
+    from d3human_tpu.ops.marching_tets import (
+        _structured_crossing, _structured_valid_tets,
+    )
+    sdf = sphere_sdf(grid.verts)
+    occ = np.asarray(sdf) > 0
+    E = grid.n_edges
+    edges = np.asarray(grid.edges[:E])
+    expect_cross = occ[edges[:, 0]] != occ[edges[:, 1]]
+    got_cross = np.asarray(jax.jit(_structured_crossing)(
+        jnp.asarray(occ).reshape(grid.vert_dims)))
+    np.testing.assert_array_equal(got_cross, expect_cross)
+
+    occ4 = occ[np.asarray(grid.tets)]
+    s = occ4.sum(1)
+    expect_valid = (s > 0) & (s < 4)
+    got_valid = np.asarray(jax.jit(_structured_valid_tets)(
+        jnp.asarray(occ).reshape(grid.vert_dims)))
+    np.testing.assert_array_equal(got_valid, expect_valid)
