@@ -90,6 +90,8 @@ def build(scale: str):
                                   perc_params, cfg)
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
+    extras = {"model": model, "tex": tex, "perceptual": perceptual,
+              "perc_params": perc_params, "cfg": cfg, "tx": tx}
 
     # synthetic target at bench resolution (mask disc + noise rgb)
     H, W = res
@@ -107,6 +109,11 @@ def build(scale: str):
         "all_normal": jnp.asarray(nrm),
         "background": jnp.zeros((H, W, 3)),
     }
+    return state, step_fn, target, extras
+
+
+def build3(scale):
+    state, step_fn, target, _ = build(scale)
     return state, step_fn, target
 
 
@@ -118,7 +125,7 @@ def main():
     for attempt in ([scale, "medium", "small"] if scale == "full"
                     else [scale, "small"]):
         try:
-            state, step_fn, target = build(attempt)
+            state, step_fn, target, _ = build(attempt)
             key = jax.random.PRNGKey(42)
             for i in range(warmup):
                 state, aux = step_fn(state, target, jax.random.fold_in(key, i))

@@ -137,8 +137,11 @@ def sample_points_on_mesh(
     if face_valid is not None:
         area = jnp.where(face_valid, area, 0.0)
     k1, k2 = jax.random.split(key)
-    logits = jnp.log(jnp.maximum(area, 1e-20))
-    fidx = jax.random.categorical(k1, logits, shape=(n_samples,))
+    # inverse-CDF sampling: O(F + S log F). (jax.random.categorical would
+    # materialize an S x F Gumbel argmax — 26G elements at production size.)
+    cdf = jnp.cumsum(area)
+    u = jax.random.uniform(k1, (n_samples,)) * cdf[-1]
+    fidx = jnp.clip(jnp.searchsorted(cdf, u), 0, area.shape[0] - 1)
     uv = jax.random.uniform(k2, (n_samples, 2))
     su = jnp.sqrt(uv[:, 0:1])
     b0 = 1.0 - su

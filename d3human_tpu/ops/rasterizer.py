@@ -154,8 +154,13 @@ def rasterize(
     max_faces_per_tile: int = 512,
     bin_expand: int = 8,
     max_global: int = 512,
+    backend: str = "auto",        # 'auto' | 'xla' | 'pallas'
 ) -> Rast:
-    """Tile-binned z-buffer rasterization (hard visibility, no gradients)."""
+    """Tile-binned z-buffer rasterization (hard visibility, no gradients).
+
+    backend='pallas' resolves tiles with the VMEM-resident Pallas kernel
+    (ops/pallas_raster.py); 'xla' uses the lax.map path; 'auto' picks
+    pallas on TPU."""
     verts_clip = jax.lax.stop_gradient(verts_clip)
     H, W = resolution
     th, tw = tile
@@ -225,28 +230,68 @@ def rasterize(
     big_ok = big_idx < F
     big_idx_c = jnp.clip(big_idx, 0, F - 1)
 
-    # ---- per-tile resolve --------------------------------------------------
-    ii = jnp.arange(th, dtype=jnp.float32)
-    jj = jnp.arange(tw, dtype=jnp.float32)
-    base_pix = jnp.stack(
-        jnp.meshgrid(jj + 0.5, ii + 0.5, indexing="xy"), axis=-1
-    ).reshape(-1, 2)  # [th*tw, 2] as (x, y)
+    if backend == "auto":
+        backend = ("pallas" if jax.devices()[0].platform == "tpu" else "xla")
 
-    def do_tile(t):
-        tyx = jnp.stack([(t % ntx) * tw, (t // ntx) * th]).astype(jnp.float32)
-        pix = base_pix + tyx[None, :]
-        fids = tile_faces[t]
-        fl = tile_live[t]
-        idt, zt = _resolve_tile(
-            pix, fids, A[fids], C[fids], az[fids], bz[fids], cz[fids], fl)
-        idg, zg = _resolve_tile(
-            pix, big_idx_c, A[big_idx_c], C[big_idx_c],
-            az[big_idx_c], bz[big_idx_c], cz[big_idx_c], big_ok)
-        better = zg < zt
-        return jnp.where(better, idg, idt), jnp.where(better, zg, zt)
+    if backend in ("pallas", "pallas_interpret"):
+        # unify tile lists + global list so the kernel sees one face set
+        from d3human_tpu.ops.pallas_raster import (
+            resolve_tiles_pallas, unpack_keys,
+        )
 
-    ids, zs = jax.lax.map(do_tile, jnp.arange(NT, dtype=jnp.int32),
-                          batch_size=min(NT, 32))
+        G = max_global
+        all_faces = jnp.concatenate(
+            [tile_faces, jnp.broadcast_to(big_idx_c, (NT, G))], axis=1)
+        all_live = jnp.concatenate(
+            [tile_live, jnp.broadcast_to(big_ok, (NT, G))], axis=1)
+        M = all_faces.shape[1]
+        pad = (-M) % 128
+        if pad:
+            all_faces = jnp.pad(all_faces, ((0, 0), (0, pad)))
+            all_live = jnp.pad(all_live, ((0, 0), (0, pad)))
+            M += pad
+        Af = A[all_faces]                          # [NT, M, 3, 2]
+        Cf = C[all_faces]                          # [NT, M, 3]
+        A_t = Af.transpose(0, 3, 1, 2).reshape(NT, 2, M * 3)
+        C_t = Cf.reshape(NT, M * 3)
+        ZP = jnp.stack([az[all_faces], bz[all_faces], cz[all_faces]],
+                       axis=1)                     # [NT, 3, M]
+        LV = all_live.astype(jnp.float32)
+        t_ids = jnp.arange(NT, dtype=jnp.float32)
+        origins = jnp.stack([(t_ids % ntx) * tw, (t_ids // ntx) * th],
+                            axis=1)
+        keys = resolve_tiles_pallas(
+            origins, A_t, C_t, ZP, LV, tile,
+            interpret=(backend == "pallas_interpret"))
+        ids, zs = unpack_keys(keys, all_faces)
+        ids = ids.reshape(NT, th, tw)
+        zs = zs.reshape(NT, th, tw)
+    else:
+        ii = jnp.arange(th, dtype=jnp.float32)
+        jj = jnp.arange(tw, dtype=jnp.float32)
+        base_pix = jnp.stack(
+            jnp.meshgrid(jj + 0.5, ii + 0.5, indexing="xy"), axis=-1
+        ).reshape(-1, 2)  # [th*tw, 2] as (x, y)
+
+        def do_tile(t):
+            tyx = jnp.stack([(t % ntx) * tw, (t // ntx) * th]).astype(
+                jnp.float32)
+            pix = base_pix + tyx[None, :]
+            fids = tile_faces[t]
+            fl = tile_live[t]
+            idt, zt = _resolve_tile(
+                pix, fids, A[fids], C[fids], az[fids], bz[fids], cz[fids], fl)
+            idg, zg = _resolve_tile(
+                pix, big_idx_c, A[big_idx_c], C[big_idx_c],
+                az[big_idx_c], bz[big_idx_c], cz[big_idx_c], big_ok)
+            better = zg < zt
+            return jnp.where(better, idg, idt), jnp.where(better, zg, zt)
+
+        ids, zs = jax.lax.map(do_tile, jnp.arange(NT, dtype=jnp.int32),
+                              batch_size=min(NT, 32))
+        ids = ids.reshape(NT, th, tw)
+        zs = zs.reshape(NT, th, tw)
+
     ids = ids.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3).reshape(
         nty * th, ntx * tw)[:H, :W]
     zs = zs.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3).reshape(
