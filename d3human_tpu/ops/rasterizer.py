@@ -252,16 +252,14 @@ def rasterize(
             M += pad
         Af = A[all_faces]                          # [NT, M, 3, 2]
         Cf = C[all_faces]                          # [NT, M, 3]
-        A_t = Af.transpose(0, 3, 1, 2).reshape(NT, 2, M * 3)
-        C_t = Cf.reshape(NT, M * 3)
+        # edge-major: columns [edge0 faces | edge1 | edge2]
+        A_t = Af.transpose(0, 3, 2, 1).reshape(NT, 2, 3 * M)
+        C_t = Cf.transpose(0, 2, 1)                # [NT, 3, M]
         ZP = jnp.stack([az[all_faces], bz[all_faces], cz[all_faces]],
                        axis=1)                     # [NT, 3, M]
-        LV = all_live.astype(jnp.float32)
-        t_ids = jnp.arange(NT, dtype=jnp.float32)
-        origins = jnp.stack([(t_ids % ntx) * tw, (t_ids // ntx) * th],
-                            axis=1)
+        LV = all_live.astype(jnp.float32).reshape(NT, 1, M)
         keys = resolve_tiles_pallas(
-            origins, A_t, C_t, ZP, LV, tile,
+            A_t, C_t, ZP, LV, tile, ntx,
             interpret=(backend == "pallas_interpret"))
         ids, zs = unpack_keys(keys, all_faces)
         ids = ids.reshape(NT, th, tw)
