@@ -48,17 +48,21 @@ def rewatertight(verts: np.ndarray, faces: np.ndarray, grid_res: int = 96,
     v = jnp.asarray(verts, jnp.float32)
     f = jnp.asarray(faces, jnp.int32)
 
-    @jax.jit
-    def extract():
+    def extract(mv, mt):
         sdf = mesh_sdf(grid.verts, v, f, k=8, sign_convention="pos_inside")
         msdf = jnp.ones((grid.n_verts,))
-        return gshell_extract(grid, grid.verts, sdf, msdf, max_verts,
-                              max_tets)
+        return gshell_extract(grid, grid.verts, sdf, msdf, mv, mt)
 
-    mesh = extract()
+    # capacity overflow silently drops faces (-> holes); retry doubled
+    mv, mt = max_verts, max_tets
+    for _ in range(4):
+        mesh = jax.jit(extract, static_argnums=(0, 1))(mv, mt)
+        if int(mesh.n_cross) <= mv and int(mesh.n_valid_tets) <= mt:
+            break
+        mv, mt = mv * 2, mt * 2
     wv, wf = mesh_io.compact_mesh(mesh.verts_wt, mesh.faces_wt,
                                   mesh.face_wt_valid)
-    return wv, wf
+    return mesh_io.weld_mesh(wv, wf)
 
 
 def push_body_inside_cloth(body_v: np.ndarray, body_f: np.ndarray,

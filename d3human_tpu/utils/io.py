@@ -89,3 +89,24 @@ def compact_mesh(verts: np.ndarray, faces: np.ndarray,
     faces = np.asarray(faces)[np.asarray(face_valid)]
     used, inv = np.unique(faces.reshape(-1), return_inverse=True)
     return np.asarray(verts)[used], inv.reshape(-1, 3).astype(np.int64)
+
+
+def weld_mesh(verts: np.ndarray, faces: np.ndarray,
+              tol: float = 1e-6) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge coincident vertices (marching tets emits duplicates when the
+    iso-surface passes exactly through a lattice vertex) and drop the
+    degenerate faces that result — restores strict 2-manifoldness for
+    closed-surface checks / downstream host processing."""
+    verts = np.asarray(verts)
+    faces = np.asarray(faces)
+    q = np.round(verts / tol).astype(np.int64)
+    _, first, inv = np.unique(q, axis=0, return_index=True,
+                              return_inverse=True)
+    new_faces = inv[faces]
+    ok = ((new_faces[:, 0] != new_faces[:, 1])
+          & (new_faces[:, 1] != new_faces[:, 2])
+          & (new_faces[:, 0] != new_faces[:, 2]))
+    new_faces = new_faces[ok]
+    used, inv2 = np.unique(new_faces.reshape(-1), return_inverse=True)
+    return (verts[first][used],
+            inv2.reshape(-1, 3).astype(np.int64))

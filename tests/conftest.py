@@ -4,7 +4,10 @@ sharding tests exercise real multi-device code paths without TPUs
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image presets JAX_PLATFORMS=axon (the TPU tunnel) — must OVERWRITE,
+# not setdefault, or the whole suite silently runs on the shared TPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_NUM_CPU_DEVICES"] = "8"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU plugin and overrides the
+# env var at config level — config.update wins by coming later.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 # This JAX build demotes fp32 matmuls by default (~1e-3 error) even on CPU;
 # oracle and finite-difference comparisons need true fp32.

@@ -86,9 +86,9 @@ def test_tetrahedralize_interior():
     v, f = icosphere(radius=0.4, n=2)
     tv, tt = tetrahedralize_interior(v, f, grid_res=12, band=0.05)
     assert len(tt) > 50
-    # tet vertices stay inside-or-near the sphere
+    # tet vertices stay inside-or-near the sphere (band + one cell margin)
     r = np.linalg.norm(tv, axis=1)
-    assert r.max() < 0.4 + 0.15
+    assert r.max() < 0.4 + 0.05 + 2 * 0.9 / 12
     # volume sanity: the crust covers the sphere and its band — total tet
     # volume between 1x and ~2.5x the sphere volume (band + cell inflation)
     a, b, c, d = (tv[tt[:, i]] for i in range(4))

@@ -52,11 +52,11 @@ def test_split_components_counts():
 
 
 def test_reassign_moves_stray_island():
-    # body = sphere at origin; cloth = sphere shell at origin + a stray
-    # island far from cloth but next to the body -> island joins the body
-    bv, bf = icosphere(radius=0.5)
-    cv1, cf1 = icosphere(radius=0.6)
-    cv2, cf2 = icosphere(radius=0.1, center=(0.45, 0, 0), n=2)
+    # body = sphere at origin; cloth = sphere shell at origin + a small
+    # stray island hugging the body -> island joins the body
+    bv, bf = icosphere(radius=0.5, n=2)
+    cv1, cf1 = icosphere(radius=0.6, n=2)
+    cv2, cf2 = icosphere(radius=0.05, center=(0.5, 0, 0), n=1)
     cv = np.concatenate([cv1, cv2])
     cf = np.concatenate([cf1, cf2 + len(cv1)])
     nbv, nbf, ncv, ncf = reassign_components(bv, bf, cv, cf,
@@ -95,7 +95,8 @@ def test_merge_body_cloth(tmp_path):
     cloth_obj = os.path.join(tmp_path, "cloth.obj")
     mesh_io.write_obj(body_obj, bv, bf)
     mesh_io.write_obj(cloth_obj, cv, cf)
-    out = merge_body_cloth(str(tmp_path), body_obj, cloth_obj, grid_res=24)
+    out = merge_body_cloth(str(tmp_path), body_obj, cloth_obj, grid_res=24,
+                           cover_eps=0.09)
     z = np.load(out["mesh"])
     assert set(z.keys()) >= {"v", "f", "face_labels"}
     assert (z["face_labels"] == 1).sum() == len(cf)
