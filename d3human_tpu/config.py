@@ -101,6 +101,9 @@ class RenderConfig:
     max_faces_per_tile: int = 512
     bin_expand: int = 16          # max tiles a face may be binned into
     backend: str = "auto"        # 'auto' | 'xla' | 'pallas'
+    # texture lookups run only on covered pixels, compacted to this static
+    # fraction of the frame (hash-grid gathers dominate the render cost)
+    max_covered_frac: float = 0.5
 
 
 @dataclass(frozen=True)

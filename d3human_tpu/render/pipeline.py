@@ -93,6 +93,7 @@ def render_mesh(
     spp: int = 1,
     use_bruteforce_raster: bool = False,
     raster_opts: Optional[dict] = None,
+    max_covered_frac: float = 0.5,
 ) -> MeshBuffers:
     H, W = resolution
     full_res = (H * spp, W * spp)
@@ -121,11 +122,32 @@ def render_mesh(
         jnp.where(flip, -gb_normal, gb_normal))
 
     # ---- texture lookups (kd path; bsdf forced 'kd', ref render.py:120) ---
+    # The hash-grid gather is the renderer's dominant cost; only covered
+    # pixels need texture, so compact them (static capacity) before the
+    # lookup — background pixels get zeros, exactly what compositing uses.
     k_jit, k_nrm = jax.random.split(key)
-    tex = tex_module.sample(tex_params, gb_pos_orig)
-    jitter_pos = gb_pos_orig + 0.01 * jax.random.normal(
-        k_jit, gb_pos_orig.shape)
-    tex_j = tex_module.sample(tex_params, jitter_pos)
+    npix = full_res[0] * full_res[1]
+    max_cov = (int(npix * max_covered_frac) if max_covered_frac else npix)
+    if max_cov < npix:
+        flat_cov = cover.reshape(-1)
+        (cov_idx,) = jnp.nonzero(flat_cov, size=max_cov, fill_value=npix)
+        pts = jnp.concatenate(
+            [gb_pos_orig.reshape(-1, 3), jnp.zeros((1, 3))], axis=0)[cov_idx]
+        noise = 0.01 * jax.random.normal(k_jit, pts.shape)
+        tex_c = tex_module.sample(tex_params, pts)
+        tex_j_c = tex_module.sample(tex_params, pts + noise)
+
+        def scatter(vals):
+            buf = jnp.zeros((npix + 1, vals.shape[-1]), vals.dtype)
+            return buf.at[cov_idx].set(vals)[:npix].reshape(*full_res, -1)
+
+        tex = scatter(tex_c)
+        tex_j = scatter(tex_j_c)
+    else:
+        tex = tex_module.sample(tex_params, gb_pos_orig)
+        jitter_pos = gb_pos_orig + 0.01 * jax.random.normal(
+            k_jit, gb_pos_orig.shape)
+        tex_j = tex_module.sample(tex_params, jitter_pos)
     kd, ks = tex[..., 0:3], tex[..., 3:6]
     kd_grad = jnp.abs(tex_j[..., 0:3] - kd)
     ks_grad = jnp.abs(tex_j[..., 3:6] - ks) * jnp.asarray([0.0, 1.0, 1.0])

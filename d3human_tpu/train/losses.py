@@ -106,6 +106,7 @@ def render_stage_mesh(key, model: GeometryModel, params, pose_params,
         msdf_attr=meshes.mesh.msdf_aug,
         spp=cfg.render.spp,
         raster_opts=raster_opts,
+        max_covered_frac=cfg.render.max_covered_frac,
     )
     return meshes, buffers
 
@@ -290,6 +291,7 @@ def tick_seq(key, model: GeometryModel, params, pose_params,
         face_labels=template.face_labels,
         spp=cfg.render.spp,
         raster_opts=raster_opts,
+        max_covered_frac=cfg.render.max_covered_frac,
     )
 
     # mask decomposition (ref hmsdf.py:788-798): cloth = label*alpha

@@ -76,6 +76,8 @@ def test_init_stage_loss_decreases(setup):
         "material": tex.init(kt),
         "light": light_mod.create_trainable_env(kl, cfg.render.probe_res),
     }
+    # fixture arrays may have been donated by another test's step_fn
+    params = jax.tree.map(jnp.array, params)
     tx, step_fn = make_train_step(
         "init", model, tex, perceptual, perc_params, cfg,
         raster_opts=dict(tile=(8, 16), max_faces_per_tile=256,
@@ -111,6 +113,8 @@ def test_split_stage_runs(setup):
         "material": tex.init(kt),
         "light": light_mod.create_trainable_env(kl, cfg.render.probe_res),
     }
+    # fixture arrays may have been donated by another test's step_fn
+    params = jax.tree.map(jnp.array, params)
     tx, step_fn = make_train_step(
         "split", model, tex, perceptual, perc_params, cfg,
         raster_opts=dict(tile=(8, 16), max_faces_per_tile=256,
