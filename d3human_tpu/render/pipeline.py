@@ -94,6 +94,7 @@ def render_mesh(
     use_bruteforce_raster: bool = False,
     raster_opts: Optional[dict] = None,
     max_covered_frac: float = 0.5,
+    aa_all_buffers: bool = False,
 ) -> MeshBuffers:
     H, W = resolution
     full_res = (H * spp, W * spp)
@@ -133,16 +134,24 @@ def render_mesh(
         (cov_idx,) = jnp.nonzero(flat_cov, size=max_cov, fill_value=npix)
         pts = jnp.concatenate(
             [gb_pos_orig.reshape(-1, 3), jnp.zeros((1, 3))], axis=0)[cov_idx]
-        noise = 0.01 * jax.random.normal(k_jit, pts.shape)
         tex_c = tex_module.sample(tex_params, pts)
-        tex_j_c = tex_module.sample(tex_params, pts + noise)
 
-        def scatter(vals):
+        def scatter(vals, idx):
             buf = jnp.zeros((npix + 1, vals.shape[-1]), vals.dtype)
-            return buf.at[cov_idx].set(vals)[:npix].reshape(*full_res, -1)
+            return buf.at[idx].set(vals)[:npix].reshape(*full_res, -1)
 
-        tex = scatter(tex_c)
-        tex_j = scatter(tex_j_c)
+        tex = scatter(tex_c, cov_idx)
+        # jittered smoothness tap on every 2nd covered pixel (feeds only the
+        # mean-based material-smoothness reg; subsampling the estimator
+        # halves the dominant gather cost)
+        half_idx = cov_idx[::2]
+        pts_h = pts[::2]
+        noise = 0.01 * jax.random.normal(k_jit, pts_h.shape)
+        tex_jh = tex_module.sample(tex_params, pts_h + noise)
+        tex_base_h = tex_c[::2]
+        # scatter |jitter - base| so unsampled pixels contribute 0 to the reg
+        diff = jnp.abs(tex_jh - tex_base_h)
+        tex_j = tex + scatter(diff, half_idx)
     else:
         tex = tex_module.sample(tex_params, gb_pos_orig)
         jitter_pos = gb_pos_orig + 0.01 * jax.random.normal(
@@ -187,25 +196,30 @@ def render_mesh(
     ones = jnp.ones_like(alpha)
     weights = aa_weights(v_clip, faces, rast, full_res)
 
-    def comp(color, bg):
+    def comp(color, bg, aa=True):
         rgba = jnp.concatenate(
             [bg + (color - bg) * alpha, alpha * ones], axis=-1)
-        return apply_aa(rgba, weights)
+        return apply_aa(rgba, weights) if aa else rgba
 
+    # The reference antialiases every buffer (ref render.py:432-449); only
+    # shaded / geometric-normal / msdf feed pixelwise losses — the material
+    # buffers feed mean-based regularizers where edge blending is noise.
+    # aa_all_buffers=True restores exact reference behavior.
     zero3 = jnp.zeros_like(kd)
     shaded = comp(kd, background)
     geo_n = comp(gb_geo_normal, zero3)
-    nrm = comp(gb_normal_ts, zero3)
-    kd_b = comp(kd, zero3)
-    ks_b = comp(ks, zero3)
-    kdg_b = comp(kd_grad, zero3)
-    ksg_b = comp(ks_grad, zero3)
-    nrmg_b = comp(nrm_grad, zero3)
+    nrm = comp(gb_normal_ts, zero3, aa=aa_all_buffers)
+    kd_b = comp(kd, zero3, aa=aa_all_buffers)
+    ks_b = comp(ks, zero3, aa=aa_all_buffers)
+    kdg_b = comp(kd_grad, zero3, aa=aa_all_buffers)
+    ksg_b = comp(ks_grad, zero3, aa=aa_all_buffers)
+    nrmg_b = comp(nrm_grad, zero3, aa=aa_all_buffers)
     # depth buffers: alpha forced 1 to avoid double blending (ref :180-195)
-    depth_b = apply_aa(jnp.concatenate(
-        [20.0 + (depth - 20.0) * alpha, ones], axis=-1), weights)
-    invd_b = apply_aa(jnp.concatenate(
-        [invdepth * alpha, ones], axis=-1), weights)
+    depth_b = jnp.concatenate([20.0 + (depth - 20.0) * alpha, ones], axis=-1)
+    invd_b = jnp.concatenate([invdepth * alpha, ones], axis=-1)
+    if aa_all_buffers:
+        depth_b = apply_aa(depth_b, weights)
+        invd_b = apply_aa(invd_b, weights)
     msdf_b = apply_aa(jnp.concatenate([msdf_img * alpha, alpha], axis=-1),
                       weights)[..., :1]
 
