@@ -41,6 +41,8 @@ from d3human_tpu.ops.rasterizer import (
 
 class MeshBuffers(NamedTuple):
     shaded: jnp.ndarray             # [H, W, 4] kd + alpha, composited + AA
+    diffuse_light: jnp.ndarray      # [H, W, 3] (pbr path; zeros under 'kd')
+    specular_light: jnp.ndarray     # [H, W, 3]
     geometric_normal: jnp.ndarray   # [H, W, 4]
     normal: jnp.ndarray             # [H, W, 4] (smooth, two-sided)
     depth: jnp.ndarray              # [H, W, 2]
@@ -95,6 +97,11 @@ def render_mesh(
     raster_opts: Optional[dict] = None,
     max_covered_frac: float = 0.5,
     aa_all_buffers: bool = False,
+    bsdf: str = "kd",
+    light_params=None,
+    n_light_samples: int = 8,
+    shadow_scale: float = 1.0,
+    sdf_fn=None,
 ) -> MeshBuffers:
     H, W = resolution
     full_res = (H * spp, W * spp)
@@ -206,7 +213,27 @@ def render_mesh(
     # buffers feed mean-based regularizers where edge blending is noise.
     # aa_all_buffers=True restores exact reference behavior.
     zero3 = jnp.zeros_like(kd)
-    shaded = comp(kd, background)
+    # shading (ref render.py:117-176): 'kd' is the reference's runtime path;
+    # 'pbr' = the re-designed env-light MC (render/envshade.py) with
+    # SDF-sphere-traced shadows instead of OptiX shadow rays
+    if bsdf == "pbr" and light_params is not None:
+        from d3human_tpu.render.envshade import env_shade
+
+        k_env = jax.random.fold_in(key, 17)
+        diffuse_l, specular_l = env_shade(
+            k_env, gb_pos, gb_normal_ts, campos, kd, ks, light_params,
+            n_samples=n_light_samples, sdf_fn=sdf_fn,
+            shadow_scale=shadow_scale)
+        kd_pbr = kd * (1.0 - ks[..., 2:3])      # ref render.py:150
+        shaded_col = diffuse_l * kd_pbr + specular_l
+    elif bsdf == "normal":
+        shaded_col = (gb_normal_ts + 1.0) * 0.5
+        diffuse_l = specular_l = jnp.zeros_like(kd)
+    else:                                        # 'kd' (forced at runtime)
+        shaded_col = kd
+        diffuse_l = specular_l = jnp.zeros_like(kd)
+
+    shaded = comp(shaded_col, background)
     geo_n = comp(gb_geo_normal, zero3)
     nrm = comp(gb_normal_ts, zero3, aa=aa_all_buffers)
     kd_b = comp(kd, zero3, aa=aa_all_buffers)
@@ -225,6 +252,8 @@ def render_mesh(
 
     out = MeshBuffers(
         shaded=shaded,
+        diffuse_light=diffuse_l,
+        specular_light=specular_l,
         geometric_normal=geo_n,
         normal=nrm,
         depth=depth_b[..., :2],

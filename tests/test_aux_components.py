@@ -95,3 +95,34 @@ def test_tetrahedralize_interior():
     vol = np.abs(np.einsum("ij,ij->i", np.cross(b - a, c - a), d - a)) / 6
     sphere_vol = 4 / 3 * np.pi * 0.4 ** 3
     assert 0.9 * sphere_vol < vol.sum() < 2.6 * sphere_vol
+
+
+def test_env_shade_energy_and_pbr_path():
+    """Constant white probe + upward normal: diffuse ~ 1 (cosine-weighted
+    hemisphere integral of L=1 / pi * pi = 1... here light-sampled: E[L*nl/p]
+    over the sphere = integral L nl / pi-ish); sanity-bounded, and the pbr
+    render path produces finite shaded output."""
+    from d3human_tpu.render import light as light_mod
+    from d3human_tpu.render.envshade import env_shade, sphere_trace_shadow
+
+    lp = {"base": jnp.ones((16, 16, 3))}
+    pos = jnp.zeros((4, 4, 3))
+    nrm = jnp.zeros((4, 4, 3)).at[..., 1].set(1.0)
+    kd = jnp.ones((4, 4, 3)) * 0.5
+    ks = jnp.zeros((4, 4, 3)).at[..., 1].set(0.5)
+    d, s = jax.jit(lambda k: env_shade(
+        k, pos, nrm, jnp.asarray([0.0, 0.0, 2.0]), kd, ks, lp,
+        n_samples=64))(jax.random.PRNGKey(0))
+    # E[diffuse] = int_hemisphere L cos/pi dw = 1 for L=1
+    assert 0.7 < float(d.mean()) < 1.3
+    assert jnp.all(jnp.isfinite(s))
+
+    # sphere-traced shadow: a big blocker above the point kills visibility
+    sdf_fn = lambda p: 0.3 - jnp.linalg.norm(
+        p - jnp.asarray([0.0, 0.6, 0.0]), axis=-1)  # >0 inside blocker
+    vis = jax.jit(lambda: sphere_trace_shadow(
+        sdf_fn, jnp.zeros((1, 3)), jnp.asarray([[0.0, 1.0, 0.0]])))()
+    assert float(vis[0]) < 0.1
+    vis_open = jax.jit(lambda: sphere_trace_shadow(
+        sdf_fn, jnp.zeros((1, 3)), jnp.asarray([[0.0, -1.0, 0.0]])))()
+    assert float(vis_open[0]) > 0.9
