@@ -117,19 +117,76 @@ def make_parallel_seq_runner(
     return launch, mesh
 
 
-def make_dp_step(step_single: Callable, mesh=None, axis: str = "data"):
-    """Replicated-grad data parallelism for the init/split stages: batch the
-    target over `axis`, mean the per-example losses — XLA inserts the psum.
-    (The reference's NCCL path never did this; SURVEY §2.4.)"""
+def make_dp_train_step(
+    stage: str,
+    model: GeometryModel,
+    tex_module,
+    perceptual,
+    perc_params,
+    cfg: Config,
+    template: Optional[SeqTemplate] = None,
+    raster_opts: Optional[dict] = None,
+    mesh=None,
+    axis: str = "data",
+):
+    """Replicated-grad data parallelism for the init/split stages — the
+    functional replacement for the reference's vestigial NCCL path
+    (/root/reference/train.py:1646-1655, which inits a process group and
+    never wraps the model; SURVEY §2.4).
+
+    Params/optimizer state are replicated over the mesh; the target batch is
+    sharded over `axis`. The per-example stage loss is vmapped over the batch
+    and MEANED, so jax.grad of the meaned loss produces replica-mean
+    gradients — XLA inserts the all-reduce (psum over ICI) automatically from
+    the sharding annotations. One optimizer step with those mean grads is
+    bit-identical to serial gradient averaging.
+
+    Returns (dp_step, mesh, batch_sharding):
+      dp_step(state, stacked_targets, keys) -> (state, batched aux)
+    where stacked_targets / keys have a leading [B] axis (B divisible by the
+    mesh size).
+    """
+    from d3human_tpu.train.optim import make_optimizer, resolve_lrs
+    from d3human_tpu.train.step import make_stage_loss_fn
+
     mesh = mesh or make_frame_mesh(axis=axis)
     batch_sharding = shard_leading(mesh, axis)
     repl = replicated(mesh)
 
-    @functools.partial(jax.jit,
-                       in_shardings=(repl, batch_sharding, None),
-                       out_shardings=(repl, repl))
-    def dp_step(state, stacked_targets, key):
-        # loss averaged over the sharded batch => gradients all-reduce
-        return step_single(state, stacked_targets, key)
+    lr_pos, lr_mat, lr_lgt = resolve_lrs(cfg.optim.learning_rate)
+    tx = make_optimizer(stage, lr_pos, lr_mat, lr_lgt, cfg.optim.warmup_iter,
+                        cfg.optim.hashgrid_grad_scale,
+                        cfg.optim.light_grad_scale)
+    loss_fn = make_stage_loss_fn(stage, tex_module, perceptual, perc_params,
+                                 cfg, raster_opts)
+    consts = {"model": model.consts(), "template": template}
 
-    return dp_step, mesh, batch_sharding
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, batch_sharding, batch_sharding, repl),
+        out_shardings=(repl, batch_sharding))
+    def _dp_step(state, stacked_targets, keys, consts):
+        bound = model.bind(consts["model"])
+        tmpl = consts["template"]
+
+        def mean_loss(params):
+            def one(target, key):
+                return loss_fn(bound, tmpl, params, target, state.step, key)
+
+            totals, aux = jax.vmap(one)(stacked_targets, keys)
+            return jnp.mean(totals), aux
+
+        (_, aux), grads = jax.value_and_grad(
+            mean_loss, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = _post_step(params, model)
+        from d3human_tpu.train.step import TrainState
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, aux
+
+    def dp_step(state, stacked_targets, keys):
+        return _dp_step(state, stacked_targets, keys, consts)
+
+    return dp_step, tx, mesh, batch_sharding

@@ -49,6 +49,27 @@ def load_params(path: str, params_template):
         jax.tree_util.tree_structure(params_template), new_leaves)
 
 
+def save_state(path: str, state) -> None:
+    """Serialize a full TrainState (params + optimizer moments + step) so a
+    resumed run is bit-identical to the uninterrupted one (stronger than the
+    reference's params-only checkpoints, ref train.py:812-832)."""
+    save_params(path, {"params": state.params,
+                       "opt_state": state.opt_state,
+                       "step": state.step})
+
+
+def load_state(path: str, state_template):
+    """Restore a TrainState saved by ``save_state``. The template (a fresh
+    TrainState from tx.init) supplies the pytree structure; stored arrays are
+    shape-filtered in exactly like ``load_params``."""
+    tree = load_params(path, {"params": state_template.params,
+                              "opt_state": state_template.opt_state,
+                              "step": state_template.step})
+    return state_template._replace(params=tree["params"],
+                                   opt_state=tree["opt_state"],
+                                   step=tree["step"])
+
+
 def latest_checkpoint(ckpt_dir: str, prefix: str = "state_") -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None

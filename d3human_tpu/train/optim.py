@@ -90,9 +90,13 @@ def _geometry_label(stage: str, path_str: str) -> str:
             return "frozen"
         return "x1e-2"
     if stage == "seq":
+        # ref train.py:1296-1304: ONLY 'nonrigid' and 'cond' name-matched
+        # geometry params get an Adam in seq. Note 'fix_code' does NOT match
+        # the reference's `'cond' in name` filter (code != cond) — it is
+        # frozen in seq even though it conditions the nonrigid MLP.
         if "nonrigid" in p:
             return "x1e-2"
-        if "cond" in p or "fix_code" in p:
+        if "cond" in p and "fix_code" not in p:
             return "x1e-2"
         return "frozen"
     raise ValueError(stage)
@@ -109,7 +113,10 @@ def make_optimizer(stage: str, lr_pos: float, lr_mat: float, lr_lgt: float,
         def label(path, _):
             ks = jax.tree_util.keystr(path)
             if ks.startswith("['pose']"):
-                return "pose"
+                # SMPL-X pose tensors get an Adam in init/split
+                # (ref train.py:601-609, :905-913) but NOT in seq
+                # (ref train.py:1296-1304 optimizes only nonrigid+cond).
+                return "geo_frozen" if stage == "seq" else "pose"
             if ks.startswith("['material']"):
                 return "material"
             if ks.startswith("['light']"):

@@ -28,7 +28,7 @@ import numpy as np
 
 from d3human_tpu.config import Config
 from d3human_tpu.models.geometry import GeometryModel, SeqTemplate
-from d3human_tpu.train.checkpoint import save_params
+from d3human_tpu.train.checkpoint import save_params, save_state
 from d3human_tpu.train.step import TrainState, make_train_step
 from d3human_tpu.utils import io as mesh_io
 from d3human_tpu.utils.logging import ScalarLogger, StepTimer
@@ -45,13 +45,49 @@ def run_stage(
     key,
     model: Optional[GeometryModel] = None,
     log_cb: Optional[Callable[[int, Dict], None]] = None,
+    start_it: int = 0,
+    tex_module=None,
+    validate_every: Optional[int] = None,
+    raster_opts: Optional[dict] = None,
 ):
     """Generic driver loop (ref optimize_mesh_init/split skeletons,
-    train.py:651-833 / :949-1243)."""
+    train.py:651-833 / :949-1243). ``start_it`` resumes mid-stage; when
+    ``tex_module`` is given, a validation strip + PSNR/IoU land in
+    save_path/validate every ``validate_every`` iters (ref validate_itr,
+    train.py:358-537 called from the drivers at save intervals)."""
     os.makedirs(save_path, exist_ok=True)
     logger = ScalarLogger(os.path.join(save_path, "loss_log"))
     timer = StepTimer()
-    for it in range(n_iters):
+    validate_every = validate_every or cfg.stages.save_checkpoint_interval
+
+    def maybe_validate(it):
+        if tex_module is None or model is None:
+            return
+        from d3human_tpu.train.validate import validate_stage
+        from d3human_tpu.utils.metrics import iou, psnr
+
+        target = next_target(it)
+        strip, buffers = validate_stage(
+            jax.random.fold_in(key, 0x7FFFFFFF), model, state.params,
+            tex_module, target, cfg, raster_opts=raster_opts,
+            return_buffers=True)
+        vdir = os.path.join(save_path, "validate")
+        os.makedirs(vdir, exist_ok=True)
+        mesh_io.save_image(os.path.join(vdir, f"img_pass1_{it:06d}.png"),
+                           strip)
+        gt = target["all_img"]
+        metrics = {
+            "psnr": float(psnr(buffers.shaded[..., :3] * gt[..., 3:],
+                               gt[..., :3] * gt[..., 3:])),
+            "mask_iou": float(iou(buffers.shaded[..., 3] > 0.5,
+                                  gt[..., 3] > 0.5)),
+        }
+        logger.log(it, {f"val_{k}": v for k, v in metrics.items()})
+        print(f"[{stage}] validate iter={it}: psnr={metrics['psnr']:.2f} "
+              f"iou={metrics['mask_iou']:.4f}", flush=True)
+        return metrics
+
+    for it in range(start_it, n_iters):
         target = next_target(it)
         timer.start()
         state, aux = step_fn(state, target, jax.random.fold_in(key, it))
@@ -69,10 +105,13 @@ def run_stage(
                 log_cb(it, scalars)
 
         if it % cfg.stages.save_checkpoint_interval == 0 and it != 0:
-            save_params(os.path.join(save_path, "ckp", f"state_{it}.npz"),
-                        state.params)
-    save_params(os.path.join(save_path, "ckp", f"state_{n_iters - 1}.npz"),
-                state.params)
+            save_state(os.path.join(save_path, "ckp", f"state_{it}.npz"),
+                       state)
+        if it % validate_every == 0 and it != 0:
+            maybe_validate(it)
+    save_state(os.path.join(save_path, "ckp", f"state_{n_iters - 1}.npz"),
+               state)
+    maybe_validate(n_iters - 1)
     logger.close()
     return state
 

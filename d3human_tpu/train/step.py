@@ -48,18 +48,12 @@ def _post_step(params: dict, model: GeometryModel) -> dict:
     return out
 
 
-def make_train_step(stage: str, model: GeometryModel, tex_module,
-                    perceptual: ConvPerceptual, perc_params, cfg: Config,
-                    template: Optional[SeqTemplate] = None,
-                    raster_opts: Optional[dict] = None,
-                    donate: bool = True):
-    """Returns (state, tx, step_fn). step_fn(state, target, key) ->
-    (state, metrics)."""
-    lr_pos, lr_mat, lr_lgt = resolve_lrs(cfg.optim.learning_rate)
-    tx = make_optimizer(stage, lr_pos, lr_mat, lr_lgt,
-                        cfg.optim.warmup_iter,
-                        cfg.optim.hashgrid_grad_scale,
-                        cfg.optim.light_grad_scale)
+def make_stage_loss_fn(stage: str, tex_module, perceptual: ConvPerceptual,
+                       perc_params, cfg: Config,
+                       raster_opts: Optional[dict] = None):
+    """The per-example loss for a stage:
+    loss_fn(bound_model, template, params, target, it, key) -> (total, aux).
+    Shared by the single-example step and the DP (batched) step."""
 
     def loss_fn(bound_model, tmpl, params, target, it, key):
         g = params["geometry"]
@@ -80,6 +74,24 @@ def make_train_step(stage: str, model: GeometryModel, tex_module,
         else:
             raise ValueError(stage)
         return out["total"], out
+
+    return loss_fn
+
+
+def make_train_step(stage: str, model: GeometryModel, tex_module,
+                    perceptual: ConvPerceptual, perc_params, cfg: Config,
+                    template: Optional[SeqTemplate] = None,
+                    raster_opts: Optional[dict] = None,
+                    donate: bool = True):
+    """Returns (state, tx, step_fn). step_fn(state, target, key) ->
+    (state, metrics)."""
+    lr_pos, lr_mat, lr_lgt = resolve_lrs(cfg.optim.learning_rate)
+    tx = make_optimizer(stage, lr_pos, lr_mat, lr_lgt,
+                        cfg.optim.warmup_iter,
+                        cfg.optim.hashgrid_grad_scale,
+                        cfg.optim.light_grad_scale)
+    loss_fn = make_stage_loss_fn(stage, tex_module, perceptual, perc_params,
+                                 cfg, raster_opts)
 
     # Large static data (grid topology, SMPL-X tables, canonical state,
     # seq template) enters the jit as ARGUMENTS — never as HLO constants.

@@ -58,13 +58,16 @@ def validation_strip(buffers: MeshBuffers, target: Dict) -> np.ndarray:
 
 def validate_stage(key, model: GeometryModel, params: Dict, tex_module,
                    target: Dict, cfg: Config, msdf_sign: float = 1.0,
-                   raster_opts=None) -> np.ndarray:
+                   raster_opts=None, return_buffers: bool = False):
     _, buffers = jax.jit(
         lambda g, p, m, k: render_stage_mesh(
             k, model, g, p, tex_module, m, target, cfg,
             msdf_sign=msdf_sign, raster_opts=raster_opts)
     )(params["geometry"], params["pose"], params["material"], key)
-    return validation_strip(buffers, target)
+    strip = validation_strip(buffers, target)
+    if return_buffers:
+        return strip, buffers
+    return strip
 
 
 def depth_display(buffers: MeshBuffers) -> np.ndarray:

@@ -21,6 +21,18 @@ def setup(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+    # D3H_PLATFORM=cpu forces the CPU backend for dev/CI runs. The axon
+    # image's sitecustomize overrides the JAX_PLATFORMS env var at config
+    # level, so this must go through jax.config (and before backend init).
+    platform = os.environ.get("D3H_PLATFORM")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+            n = os.environ.get("D3H_NUM_CPU_DEVICES")
+            if n:
+                jax.config.update("jax_num_cpu_devices", int(n))
+        except RuntimeError as e:
+            print(f"[jax_setup] platform override failed: {e}")
 
 
 def enable_debug_nans(enable: bool = True) -> None:

@@ -41,7 +41,7 @@ def main():
     # bench.build gives us a ready state/step/target; grab internals
     import bench as B
 
-    state, step_fn, target = B.build(scale)
+    state, step_fn, target, _extras = B.build(scale)
     params = state.params
 
     # rebuild the pieces the same way bench.build did

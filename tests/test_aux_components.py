@@ -126,3 +126,50 @@ def test_env_shade_energy_and_pbr_path():
     vis_open = jax.jit(lambda: sphere_trace_shadow(
         sdf_fn, jnp.zeros((1, 3)), jnp.asarray([[0.0, -1.0, 0.0]])))()
     assert float(vis_open[0]) > 0.9
+
+
+def test_checkpoint_full_state_resume_bit_identical(tmp_path):
+    """Kill/resume parity (ref load_ckp train.py:284-331, strengthened):
+    saving the FULL TrainState (params + Adam moments + step) and reloading
+    it must continue bit-identically with the uninterrupted run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from d3human_tpu.train.checkpoint import (
+        latest_checkpoint, load_state, save_state,
+    )
+    from d3human_tpu.train.step import TrainState, make_train_step
+
+    cfg, scene, model, tex, perceptual, perc_params, params = ge._small_setup()
+    raster_opts = dict(tile=(8, 16), max_faces_per_tile=128, bin_expand=8,
+                       max_global=128)
+    tx, step_fn = make_train_step("init", model, tex, perceptual, perc_params,
+                                  cfg, raster_opts=raster_opts, donate=False)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    target = scene.frame_target(0)
+    key = jax.random.PRNGKey(3)
+
+    for it in range(2):
+        state, _ = step_fn(state, target, jax.random.fold_in(key, it))
+    ckdir = str(tmp_path / "ckp")
+    save_state(ckdir + "/state_1.npz", state)
+
+    cont, _ = step_fn(state, target, jax.random.fold_in(key, 2))
+
+    fresh = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    path = latest_checkpoint(ckdir)
+    assert path is not None
+    resumed = load_state(path, fresh)
+    assert int(resumed.step) == int(state.step)
+    resumed, _ = step_fn(resumed, target, jax.random.fold_in(key, 2))
+
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(cont.params),
+            jax.tree_util.tree_leaves_with_path(resumed.params)):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg=jax.tree_util.keystr(pa))

@@ -36,7 +36,7 @@ from d3human_tpu.ops.tet_grid import make_tet_grid
 from d3human_tpu.pipeline.components import process_close_hole
 from d3human_tpu.pipeline.template import build_seq_template, merge_body_cloth
 from d3human_tpu.render import light as light_mod
-from d3human_tpu.train.checkpoint import latest_checkpoint, load_params
+from d3human_tpu.train.checkpoint import latest_checkpoint, load_state
 from d3human_tpu.train.stages import (
     export_stage_meshes, run_seq_stage, run_stage,
 )
@@ -56,6 +56,10 @@ def parse_args():
                    help="comma-separated subset of the stage graph")
     p.add_argument("--iters-scale", type=float, default=1.0,
                    help="scale all stage iteration counts (smoke runs)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume each stage from its latest checkpoint "
+                        "(full TrainState incl. optimizer moments; "
+                        "ref load_ckp train.py:284-331)")
     return p.parse_args()
 
 
@@ -137,12 +141,32 @@ def main():
         return TrainState(params=params, opt_state=tx.init(params),
                           step=jnp.zeros((), jnp.int32)), step_fn
 
+    def maybe_resume(state, stage_dir, n_iters):
+        """--resume: restore the latest full TrainState for this stage and
+        return (state, start_it). A finished stage resumes at n_iters (the
+        loop no-ops) so re-running the pipeline skips completed work —
+        the init->split reload the reference does explicitly at
+        train.py:1825 falls out of this (split starts from init's params
+        carried in-memory or from its own checkpoints on disk)."""
+        if not args.resume:
+            return state, 0
+        ck = latest_checkpoint(os.path.join(stage_dir, "ckp"))
+        if ck is None:
+            return state, 0
+        state = load_state(ck, state)
+        start_it = int(os.path.basename(ck)[len("state_"):-4])
+        print(f"[resume] {ck} -> start_it={start_it + 1}", flush=True)
+        return state, min(start_it + 1, n_iters)
+
     # ---------------- stage graph -----------------------------------------
     if "split_smpl" in stages:
         state, step_fn = stage_state("split")
-        state = run_stage("split_smpl", s(cfg.stages.split_smpl_epoch), state,
-                          step_fn, get_target, cfg,
-                          os.path.join(cfg.out_dir, "split_smpl"), kRun, model)
+        sdir = os.path.join(cfg.out_dir, "split_smpl")
+        n = s(cfg.stages.split_smpl_epoch)
+        state, start_it = maybe_resume(state, sdir, n)
+        state = run_stage("split_smpl", n, state, step_fn, get_target, cfg,
+                          sdir, kRun, model, start_it=start_it,
+                          tex_module=tex)
         params = state.params
         paths = export_stage_meshes(model, params,
                                     os.path.join(cfg.out_dir, "split_smpl"),
@@ -158,18 +182,23 @@ def main():
             params["geometry"], gt_sdf,
             steps=cfg.stages.sdf_mlp_pretrain_steps)
         state, step_fn = stage_state("init")
-        state = run_stage("init", s(cfg.stages.init_epoch), state, step_fn,
-                          get_target, cfg, os.path.join(cfg.out_dir, "init"),
-                          jax.random.fold_in(kRun, 1), model)
+        sdir = os.path.join(cfg.out_dir, "init")
+        n = s(cfg.stages.init_epoch)
+        state, start_it = maybe_resume(state, sdir, n)
+        state = run_stage("init", n, state, step_fn, get_target, cfg, sdir,
+                          jax.random.fold_in(kRun, 1), model,
+                          start_it=start_it, tex_module=tex)
         params = state.params
 
     process_dir = os.path.join(cfg.out_dir, "processsplit_cloth0")
     if "split" in stages:
         state, step_fn = stage_state("split")
-        state = run_stage("split", s(cfg.stages.split_epoch), state, step_fn,
-                          get_target, cfg, os.path.join(cfg.out_dir,
-                                                        "split_cloth0"),
-                          jax.random.fold_in(kRun, 2), model)
+        sdir = os.path.join(cfg.out_dir, "split_cloth0")
+        n = s(cfg.stages.split_epoch)
+        state, start_it = maybe_resume(state, sdir, n)
+        state = run_stage("split", n, state, step_fn, get_target, cfg, sdir,
+                          jax.random.fold_in(kRun, 2), model,
+                          start_it=start_it, tex_module=tex)
         params = state.params
         paths = export_stage_meshes(model, params,
                                     os.path.join(cfg.out_dir, "split_cloth0"),
