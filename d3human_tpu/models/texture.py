@@ -49,7 +49,16 @@ grad_scale.defvjp(_grad_scale_fwd, _grad_scale_bwd)
 
 
 class HashGridEncoding:
-    """Instant-NGP style multiresolution feature grid."""
+    """Instant-NGP style multiresolution feature grid.
+
+    TPU layout insight (measured, scripts/bench_gather.py): XLA's TPU row
+    gather costs ~the same for 2..16-float rows — cost is per ROW, not per
+    byte. So for dense levels the lookup packs ALL 8 cell corners into one
+    16-float row (built per step from the canonical per-level table with 8
+    rolls + a concat, whose autodiff transpose is rolls again — no scatter),
+    turning 8 gathers/level/point into ONE. Hashed levels (dense extent >
+    table budget) fall back to 8 hashed gathers, as locality doesn't survive
+    the spatial hash."""
 
     def __init__(self, n_levels=5, n_features=2, log2_hashmap_size=21,
                  base_resolution=16, desired_resolution=4096,
@@ -69,14 +78,21 @@ class HashGridEncoding:
         )
         # Direct indexing when the dense grid fits in the table (tcnn behavior)
         self.dense = tuple((r + 1) ** 3 <= self.table_size for r in self.resolutions)
+        # per-level row counts: dense levels allocate exactly their extent
+        # (the reference's tcnn allocates the full 2^21 for every level; the
+        # trainable surface is identical — extra rows were never addressed)
+        self.level_sizes = tuple(
+            min((r + 1) ** 3, self.table_size) for r in self.resolutions)
         self.out_dim = n_levels * n_features
 
     def init(self, key) -> Params:
         # tcnn init: U(-1e-4, 1e-4)
-        table = jax.random.uniform(
-            key, (self.n_levels, self.table_size, self.n_features),
-            jnp.float32, -1e-4, 1e-4,
-        )
+        keys = jax.random.split(key, self.n_levels)
+        table = [
+            jax.random.uniform(keys[l], (self.level_sizes[l], self.n_features),
+                               jnp.float32, -1e-4, 1e-4)
+            for l in range(self.n_levels)
+        ]
         return {"table": table}
 
     def _corner_index(self, level: int, ix: jnp.ndarray) -> jnp.ndarray:
@@ -92,27 +108,46 @@ class HashGridEncoding:
         h = h ^ (ix[..., 2] * jnp.uint32(_PRIMES[2]))
         return (h & jnp.uint32(self.table_size - 1)).astype(jnp.int32)
 
+    # corner order: (i, j, k) for i,j,k in {0,1}^3, i-major (matches the
+    # trilinear weight order below)
+    _CORNERS = [(i, j, k) for i in (0, 1) for j in (0, 1) for k in (0, 1)]
+
+    def packed_table(self, table_l: jnp.ndarray, level: int) -> jnp.ndarray:
+        """[S, F] canonical level table -> [S, 8*F] corner-packed rows:
+        packed[r, c*F:(c+1)*F] = table[r + offset(corner c)]. Rolls wrap at
+        the array end, but wrapped rows are only ever gathered with zero
+        trilinear weight (base index <= res along each axis)."""
+        s = self.resolutions[level] + 1
+        rolls = [
+            jnp.roll(table_l, -(i * s * s + j * s + k), axis=0)
+            for (i, j, k) in self._CORNERS
+        ]
+        return jnp.concatenate(rolls, axis=-1)
+
     def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         """x: [..., 3] in [0,1] -> [..., n_levels * n_features]."""
         table = params["table"]
         outs = []
-        # 8 corner offsets, static
-        corners = jnp.asarray(
-            [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
-            dtype=jnp.int32,
-        )
+        F = self.n_features
+        corners = jnp.asarray(self._CORNERS, dtype=jnp.int32)
         for level in range(self.n_levels):
             res = self.resolutions[level]
             xs = x * res
             x0 = jnp.floor(xs)
             frac = xs - x0
             x0 = x0.astype(jnp.int32)
-            idx = self._corner_index(level, x0[..., None, :] + corners)  # [..., 8]
-            feats = table[level][idx]                                   # [..., 8, F]
             # trilinear weights: prod over axes of (frac if corner==1 else 1-frac)
-            f = frac[..., None, :]                                       # [..., 1, 3]
-            cw = jnp.where(corners > 0, f, 1.0 - f)                      # [..., 8, 3]
-            weight = cw[..., 0] * cw[..., 1] * cw[..., 2]                # [..., 8]
+            f = frac[..., None, :]                                   # [..., 1, 3]
+            cw = jnp.where(corners > 0, f, 1.0 - f)                  # [..., 8, 3]
+            weight = cw[..., 0] * cw[..., 1] * cw[..., 2]            # [..., 8]
+            if self.dense[level]:
+                base = self._corner_index(level, x0)                 # [...]
+                packed = self.packed_table(table[level], level)
+                rows = jnp.take(packed, base, axis=0)                # [..., 8F]
+                feats = rows.reshape(*rows.shape[:-1], 8, F)
+            else:
+                idx = self._corner_index(level, x0[..., None, :] + corners)
+                feats = table[level][idx]                            # [..., 8, F]
             outs.append(jnp.sum(feats * weight[..., None], axis=-2))
         return jnp.concatenate(outs, axis=-1)
 

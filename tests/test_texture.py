@@ -32,7 +32,7 @@ def test_hashgrid_interpolation_is_trilinear():
     stride = 5
     idx = (1 * stride + 2) * stride + 3
     np.testing.assert_allclose(float(out[0, 0]),
-                               float(params["table"][0, idx, 0]), rtol=1e-5)
+                               float(params["table"][0][idx, 0]), rtol=1e-5)
     # Continuity / linearity along one axis between lattice points
     a = enc.apply(params, jnp.array([[0.25, 0.5, 0.75]]))
     b = enc.apply(params, jnp.array([[0.5, 0.5, 0.75]]))
@@ -58,4 +58,55 @@ def test_mlptexture_sample_range_and_grads():
 
     g = jax.grad(loss)(params)
     # table receives (scatter-add) gradients
-    assert float(jnp.abs(g["encoder"]["table"]).sum()) > 0
+    assert sum(float(jnp.abs(t).sum()) for t in g["encoder"]["table"]) > 0
+
+
+def test_packed_dense_gather_matches_8corner_oracle():
+    """The corner-packed single-row gather (TPU layout, see
+    HashGridEncoding docstring) must match a plain 8-gather trilerp,
+    including at domain corners, and for hashed (non-dense) levels."""
+    # mix of dense (8 -> 9^3 <= 2^10) and hashed (16 -> 17^3 > 2^10)
+    enc = HashGridEncoding(n_levels=3, n_features=2, base_resolution=8,
+                           log2_hashmap_size=10)
+    assert enc.dense[0] and not enc.dense[-1]
+    params = enc.init(jax.random.PRNGKey(1))
+
+    corners = jnp.asarray(enc._CORNERS, jnp.int32)
+
+    def oracle(params, x):
+        outs = []
+        for level in range(enc.n_levels):
+            res = enc.resolutions[level]
+            xs = x * res
+            x0 = jnp.floor(xs)
+            frac = xs - x0
+            x0 = x0.astype(jnp.int32)
+            idx = enc._corner_index(level, x0[..., None, :] + corners)
+            idx = jnp.clip(idx, 0, params["table"][level].shape[0] - 1)
+            feats = params["table"][level][idx]
+            f = frac[..., None, :]
+            cw = jnp.where(corners > 0, f, 1.0 - f)
+            w = cw[..., 0] * cw[..., 1] * cw[..., 2]
+            outs.append(jnp.sum(feats * w[..., None], axis=-2))
+        return jnp.concatenate(outs, axis=-1)
+
+    key = jax.random.PRNGKey(2)
+    x = jax.random.uniform(key, (257, 3))
+    x = jnp.concatenate([x, jnp.zeros((1, 3)), jnp.ones((1, 3))], axis=0)
+    got = enc.apply(params, x)
+    want = oracle(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-7)
+
+    # gradients wrt the table agree too (the roll transpose path)
+    def loss_a(p):
+        return jnp.sum(enc.apply(p, x) ** 2)
+
+    def loss_b(p):
+        return jnp.sum(oracle(p, x) ** 2)
+
+    ga = jax.grad(loss_a)(params)["table"]
+    gb = jax.grad(loss_b)(params)["table"]
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-7)
