@@ -44,6 +44,10 @@ BG_SENTINEL_Z = 3.4e38
 class Rast(NamedTuple):
     tri_id: jnp.ndarray   # [H, W] int32: face index + 1; 0 = background
     zbuf: jnp.ndarray     # [H, W] f32: screen-space z/w of the winner
+    # capacity observability: faces silently dropped past these are wrong
+    # gradients — surfaced into every training step's metrics
+    n_max_tile: Optional[jnp.ndarray] = None   # max per-tile face-list length
+    n_big: Optional[jnp.ndarray] = None        # oversize (global-list) faces
 
 
 def xfm_points(points: jnp.ndarray, mtx: jnp.ndarray) -> jnp.ndarray:
@@ -294,7 +298,9 @@ def rasterize(
         nty * th, ntx * tw)[:H, :W]
     zs = zs.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3).reshape(
         nty * th, ntx * tw)[:H, :W]
-    return Rast(tri_id=ids, zbuf=zs)
+    return Rast(tri_id=ids, zbuf=zs,
+                n_max_tile=jnp.max(starts[1:] - starts[:-1]),
+                n_big=jnp.sum(big))
 
 
 def rasterize_bruteforce(verts_clip, faces, face_valid, resolution) -> Rast:
@@ -384,6 +390,199 @@ def interpolate_face_attr(face_attrs: jnp.ndarray, rast: Rast) -> jnp.ndarray:
     fid = jnp.maximum(rast.tri_id - 1, 0)
     out = face_attrs[fid]
     return jnp.where((rast.tri_id > 0)[..., None], out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Covered-pixel compaction (the TPU hot-path layout)
+# ---------------------------------------------------------------------------
+# Measured (scripts/bench_gather.py): every per-pixel gather's backward is a
+# scatter-add whose cost is per-row and 3-15x a gather's. Running the shading
+# /loss path on a compacted covered-pixel list (static capacity) instead of
+# the full image cuts those rows ~2.5x at typical coverage, and fusing all
+# vertex attributes into ONE wide gather cuts the row count another ~4x.
+
+
+def compact_cover(rast: Rast, max_cov: int):
+    """Compacted covered pixels. Returns (idx [P], valid [P], fid [P]) with
+    idx = sorted flat pixel indices (fill = npix, out-of-bounds => dropped by
+    scatter mode), fid clamped to a valid face."""
+    flat = rast.tri_id.reshape(-1)
+    npix = flat.shape[0]
+    (idx,) = jnp.nonzero(flat > 0, size=max_cov, fill_value=npix)
+    valid = idx < npix
+    fid = jnp.maximum(flat[jnp.minimum(idx, npix - 1)] - 1, 0)
+    return idx, valid, fid
+
+
+def pixel_centers_at(idx: jnp.ndarray, resolution) -> jnp.ndarray:
+    """Flat pixel index -> (x+.5, y+.5) centers [P, 2]."""
+    H, W = resolution
+    x = (idx % W).astype(jnp.float32) + 0.5
+    y = (idx // W).astype(jnp.float32) + 0.5
+    return jnp.stack([x, y], axis=-1)
+
+
+def barycentrics_compact(tri_clip: jnp.ndarray, pix_xy: jnp.ndarray,
+                         resolution) -> jnp.ndarray:
+    """Perspective-correct barycentrics on a compacted pixel list.
+
+    tri_clip: [P, 3, 4] clip-space corners of each pixel's covering face;
+    pix_xy: [P, 2]. Same math as ``barycentrics`` (differentiable wrt
+    tri_clip)."""
+    H, W = resolution
+    w = tri_clip[..., 3]
+    w = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+    xs = (tri_clip[..., 0] / w * 0.5 + 0.5) * W                # [P, 3]
+    ys = (0.5 - tri_clip[..., 1] / w * 0.5) * H
+    px, py = pix_xy[..., 0], pix_xy[..., 1]
+
+    def edge(k):
+        k1 = (k + 1) % 3
+        return ((xs[..., k1] - xs[..., k]) * (py - ys[..., k])
+                - (ys[..., k1] - ys[..., k]) * (px - xs[..., k]))
+
+    e0, e1, e2 = edge(1), edge(2), edge(0)
+    ssum = e0 + e1 + e2
+    ssum = jnp.where(jnp.abs(ssum) < 1e-12, 1e-12, ssum)
+    bs = jnp.stack([e0, e1, e2], axis=-1) / ssum[..., None]
+    bw = bs / w
+    bsum = jnp.sum(bw, axis=-1, keepdims=True)
+    bsum = jnp.where(jnp.abs(bsum) < 1e-12, 1e-12, bsum)
+    return bw / bsum
+
+
+def scatter_image(vals: jnp.ndarray, idx: jnp.ndarray, resolution):
+    """[P, C] compacted values -> [H, W, C] image (zeros elsewhere).
+    idx out-of-bounds rows (the nonzero fill) are dropped; idx is sorted by
+    construction, which XLA's scatter exploits."""
+    H, W = resolution
+    buf = jnp.zeros((H * W, vals.shape[-1]), vals.dtype)
+    buf = buf.at[idx].set(vals, mode="drop", indices_are_sorted=True,
+                          unique_indices=True)
+    return buf.reshape(H, W, vals.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Sparse antialiasing (compacted silhouette pairs)
+# ---------------------------------------------------------------------------
+
+def aa_pair_candidates(rast: Rast, axis: int, z_thresh: float):
+    """Full-image candidate mask for AA pixel pairs along `axis` — integer
+    ops only, no gradients. A pair qualifies when the ids differ AND
+    (coverage changes OR the depth jump exceeds z_thresh relative): this is
+    the silhouette-edge set nvdiffrast antialiases (interior edges shared by
+    two visible triangles are skipped there via its edge hash; here via the
+    depth-continuity test)."""
+    idm, zb = rast.tri_id, rast.zbuf
+    if axis == 1:
+        ida, idb = idm[:, :-1], idm[:, 1:]
+        za, zb_ = zb[:, :-1], zb[:, 1:]
+    else:
+        ida, idb = idm[:-1, :], idm[1:, :]
+        za, zb_ = zb[:-1, :], zb[1:, :]
+    a_cov, b_cov = ida > 0, idb > 0
+    differs = ida != idb
+    cov_edge = a_cov != b_cov
+    zjump = jnp.abs(za - zb_) > z_thresh * (jnp.abs(za) + jnp.abs(zb_) + 1e-3)
+    return differs & (a_cov | b_cov) & (cov_edge | zjump)
+
+
+def aa_pairs_compact(rast: Rast, resolution, axis: int, max_pairs: int,
+                     z_thresh: float = 0.01):
+    """Compact the candidate mask into flat pair indices. Returns
+    (pidx [Q] flat index into the PAIR grid, valid [Q], n_candidates)."""
+    cand = aa_pair_candidates(rast, axis, z_thresh)
+    flat = cand.reshape(-1)
+    n = flat.shape[0]
+    (pidx,) = jnp.nonzero(flat, size=max_pairs, fill_value=n)
+    return pidx, pidx < n, jnp.sum(flat)
+
+
+def aa_geometry_compact(verts_clip, faces, rast: Rast, pidx, pvalid,
+                        resolution, axis: int):
+    """Per-pair AA blend geometry (same math as _aa_weights_axis, gathered
+    on the compacted pair list). Returns (ia, ib, a_wins [Q], spill [Q],
+    recede [Q]) with ia/ib flat FULL-image pixel indices."""
+    H, W = resolution
+    pw = W - 1 if axis == 1 else W
+    # pair p = (row, col) in the pair grid; members a/b in the image
+    prow = pidx // pw
+    pcol = pidx % pw
+    if axis == 1:
+        ia = prow * W + pcol
+        ib = ia + 1
+    else:
+        ia = prow * W + pcol
+        ib = ia + W
+    n = H * W
+    ia_c = jnp.minimum(ia, n - 1)
+    ib_c = jnp.minimum(ib, n - 1)
+    idm = rast.tri_id.reshape(-1)
+    zbf = rast.zbuf.reshape(-1)
+    ida, idb = idm[ia_c], idm[ib_c]
+    za, zb_ = zbf[ia_c], zbf[ib_c]
+    a_cov, b_cov = ida > 0, idb > 0
+    a_wins = a_cov & ((~b_cov) | (za <= zb_))
+    winner_id = jnp.where(a_wins, ida, idb)
+    fid = jnp.maximum(winner_id - 1, 0)
+
+    tri = verts_clip[faces[fid]]                               # [Q, 3, 4]
+    w = tri[..., 3]
+    w = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+    xs = (tri[..., 0] / w * 0.5 + 0.5) * W
+    ys = (0.5 - tri[..., 1] / w * 0.5) * H
+
+    pax = (ia_c % W).astype(jnp.float32) + 0.5
+    pay = (ia_c // W).astype(jnp.float32) + 0.5
+    pbx = (ib_c % W).astype(jnp.float32) + 0.5
+    pby = (ib_c // W).astype(jnp.float32) + 0.5
+
+    k1 = jnp.asarray([1, 2, 0])
+
+    def edges_at(qx, qy):
+        return ((xs[..., k1] - xs) * (qy[..., None] - ys)
+                - (ys[..., k1] - ys) * (qx[..., None] - xs))   # [Q, 3]
+
+    Ea = edges_at(pax, pay)
+    Eb = edges_at(pbx, pby)
+    sgn = jnp.where(jnp.sum(Ea, -1, keepdims=True)
+                    + jnp.sum(Eb, -1, keepdims=True) >= 0, 1.0, -1.0)
+    Ew = jnp.where(a_wins[..., None], Ea, Eb) * sgn
+    Eo = jnp.where(a_wins[..., None], Eb, Ea) * sgn
+    ex = jnp.abs(xs[..., k1] - xs)
+    ey = jnp.abs(ys[..., k1] - ys)
+    owns = (ey >= ex) if axis == 1 else (ex > ey)
+    flips = (Ew > 0) & (Eo < 0) & owns
+    denom = Ew - Eo
+    denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    t_k = jnp.where(flips, Ew / denom, 2.0)
+    t = jnp.min(t_k, axis=-1)
+    active = pvalid & jnp.any(flips, axis=-1) & (t <= 1.0)
+    spill = jnp.where(active, jnp.clip(t - 0.5, 0.0, 0.5), 0.0)
+    recede = jnp.where(active, jnp.clip(0.5 - t, 0.0, 0.5), 0.0)
+    return ia, ib, a_wins, spill, recede
+
+
+def apply_aa_sparse(img: jnp.ndarray, pairs) -> jnp.ndarray:
+    """Apply compacted AA blend deltas to a full [H, W, C] image.
+    ``pairs`` is a sequence of aa_geometry_compact outputs (one per axis).
+    Out-of-bounds pair indices (nonzero fill) are dropped by scatter mode."""
+    H, W, C = img.shape
+    flat = img.reshape(-1, C)
+    for (ia, ib, a_wins, spill, recede) in pairs:
+        n = H * W
+        ca = flat[jnp.minimum(ia, n - 1)]
+        cb = flat[jnp.minimum(ib, n - 1)]
+        aw = a_wins[..., None]
+        wcol = jnp.where(aw, ca, cb)
+        lcol = jnp.where(aw, cb, ca)
+        d_l = (wcol - lcol) * spill[..., None]
+        d_w = (lcol - wcol) * recede[..., None]
+        d_a = jnp.where(aw, d_w, d_l)
+        d_b = jnp.where(aw, d_l, d_w)
+        flat = flat.at[ia].add(d_a, mode="drop")
+        flat = flat.at[ib].add(d_b, mode="drop")
+    return flat.reshape(H, W, C)
 
 
 # ---------------------------------------------------------------------------

@@ -55,3 +55,18 @@ def material_smoothness_grad(kd_grad, ks_grad, nrm_grad,
     loss += jnp.mean(ks_grad[..., :-1] * ks_grad[..., -1:]) * lambda_ks
     loss += jnp.mean(nrm_grad[..., :-1] * nrm_grad[..., -1:]) * lambda_nrm
     return loss
+
+
+def material_smoothness_compact(stats: dict, lambda_kd=0.25, lambda_ks=0.1,
+                                lambda_nrm=0.0) -> jnp.ndarray:
+    """``material_smoothness_grad`` evaluated on the compacted-pixel stats
+    from render_mesh_compact: the full-image means reduce to
+    sum-over-covered / npix (uncovered pixels contribute zero there), with
+    the 1/jitter_subsample subsample rescaled to the same expectation."""
+    npix = stats["npix"]
+    ss = stats["jitter_subsample"]
+    kd_luma = jnp.sum(stats["kd_grad"], axis=-1) / 3.0
+    loss = jnp.sum(kd_luma) * ss / npix * lambda_kd
+    loss += jnp.sum(stats["ks_grad"]) * ss / (npix * 3) * lambda_ks
+    loss += jnp.sum(stats["nrm_grad"]) * ss / (npix * 3) * lambda_nrm
+    return loss

@@ -85,7 +85,7 @@ def msdf_image_hinges(buffers: MeshBuffers, gt_mask: jnp.ndarray):
 def render_stage_mesh(key, model: GeometryModel, params, pose_params,
                       tex_module, tex_params, target, cfg: Config,
                       msdf_sign: float = 1.0,
-                      raster_opts=None) -> tuple:
+                      raster_opts=None, compact=None) -> tuple:
     """getMesh + render (ref render_init/render_split, hmsdf.py:706-773).
     Texture coordinates use the *unposed* template positions
     (ref render.py:259 interpolates mesh_original = tmp_nodeform_mesh)."""
@@ -107,8 +107,28 @@ def render_stage_mesh(key, model: GeometryModel, params, pose_params,
         spp=cfg.render.spp,
         raster_opts=raster_opts,
         max_covered_frac=cfg.render.max_covered_frac,
+        compact=compact,
     )
     return meshes, buffers
+
+
+def capacity_metrics(buffers: MeshBuffers, meshes=None) -> dict:
+    """Static-capacity occupancy ratios (overflow => silently dropped work
+    => quietly wrong gradients). Logged in every step's aux so a sizing
+    problem is visible in the scalar logs, not a mystery."""
+    out = {}
+    st = buffers.stats
+    if st is not None:
+        out["cap_cov"] = st["n_cov"] / st["cov_capacity"]
+        out["cap_aa"] = (jnp.maximum(st["aa_pairs_x"], st["aa_pairs_y"])
+                         / st["aa_capacity"])
+    if buffers.rast.n_max_tile is not None:
+        out["n_max_tile"] = buffers.rast.n_max_tile
+        out["n_big_faces"] = buffers.rast.n_big
+    if meshes is not None:
+        out["n_cross"] = meshes.mesh.n_cross
+        out["n_valid_tets"] = meshes.mesh.n_valid_tets
+    return out
 
 
 def tick_init(key, model: GeometryModel, params, pose_params,
@@ -147,12 +167,13 @@ def tick_init(key, model: GeometryModel, params, pose_params,
 
     reg_loss = sdf_reg + eik
     total = reg_loss + normal_loss + msk_loss     # ref train.py:718
-    return {
+    out = {
         "total": total, "img_loss": img_loss, "msk_loss": msk_loss,
         "sdf_reg_loss": sdf_reg, "eik_loss": eik, "reg_loss": reg_loss,
         "normal_loss": normal_loss,
-        "n_cross": meshes.mesh.n_cross, "n_valid_tets": meshes.mesh.n_valid_tets,
     }
+    out.update(capacity_metrics(buffers, meshes))
+    return out
 
 
 def tick_split_one(key, model: GeometryModel, params, pose_params,
@@ -215,9 +236,14 @@ def tick_split_one(key, model: GeometryModel, params, pose_params,
 
     # shading regularizers (ref hmsdf.py:1034-1046; monochrome is zero since
     # the env-shading branch is dead and diffuse_light never exists)
-    mtl_smooth = regularizer.material_smoothness_grad(
-        buffers.kd_grad, buffers.ks_grad, buffers.normal_grad,
-        cfg.loss.lambda_kd, cfg.loss.lambda_ks, cfg.loss.lambda_nrm)
+    if buffers.stats is not None:
+        mtl_smooth = regularizer.material_smoothness_compact(
+            buffers.stats, cfg.loss.lambda_kd, cfg.loss.lambda_ks,
+            cfg.loss.lambda_nrm)
+    else:
+        mtl_smooth = regularizer.material_smoothness_grad(
+            buffers.kd_grad, buffers.ks_grad, buffers.normal_grad,
+            cfg.loss.lambda_kd, cfg.loss.lambda_ks, cfg.loss.lambda_nrm)
     chroma = regularizer.chroma_loss(buffers.kd, color_ref,
                                      cfg.loss.lambda_chroma)
 
@@ -234,13 +260,15 @@ def tick_split_one(key, model: GeometryModel, params, pose_params,
     geo_reg = sdf_reg + eik
     shading_reg = mtl_smooth + chroma
     reg_loss = geo_reg + shading_reg + mesh_msdf_reg
-    return {
+    out = {
         "img_loss": img_loss, "msk_loss": msk_loss, "eik_loss": eik,
         "sdf_reg_loss": sdf_reg, "mesh_msdf_reg_loss": mesh_msdf_reg,
         "mtl_smooth_loss": mtl_smooth, "chroma_loss": chroma,
         "reg_loss": reg_loss, "normal_loss": normal_loss,
         "normal_loss_mse": normal_mse, "normal_loss_cos": normal_cos,
     }
+    out.update(capacity_metrics(buffers, meshes))
+    return out
 
 
 def tick_split(key, model, params, pose_params, tex_module, tex_params,
@@ -316,9 +344,14 @@ def tick_seq(key, model: GeometryModel, params, pose_params,
     body_img = loss_fn(buffers.shaded[..., 0:3] * body_mask,
                        gt_body[..., 0:3])
 
-    mtl_smooth = regularizer.material_smoothness_grad(
-        buffers.kd_grad, buffers.ks_grad, buffers.normal_grad,
-        cfg.loss.lambda_kd, cfg.loss.lambda_ks, cfg.loss.lambda_nrm)
+    if buffers.stats is not None:
+        mtl_smooth = regularizer.material_smoothness_compact(
+            buffers.stats, cfg.loss.lambda_kd, cfg.loss.lambda_ks,
+            cfg.loss.lambda_nrm)
+    else:
+        mtl_smooth = regularizer.material_smoothness_grad(
+            buffers.kd_grad, buffers.ks_grad, buffers.normal_grad,
+            cfg.loss.lambda_kd, cfg.loss.lambda_ks, cfg.loss.lambda_nrm)
     chroma = regularizer.chroma_loss(buffers.kd, gt_all,
                                      cfg.loss.lambda_chroma)
     shading_reg = mtl_smooth + chroma
@@ -345,7 +378,7 @@ def tick_seq(key, model: GeometryModel, params, pose_params,
              + 1e5 * colli
              + 1e3 * nds_normal
              + delta_loss)
-    return {
+    out = {
         "total": total, "all_img_loss": all_img, "all_msk_loss": all_msk,
         "cloth_img_loss": cloth_img, "cloth_msk_loss": cloth_msk,
         "body_img_loss": body_img, "body_msk_loss": body_msk,
@@ -354,3 +387,5 @@ def tick_seq(key, model: GeometryModel, params, pose_params,
         "delta_loss": delta_loss, "mtl_smooth_loss": mtl_smooth,
         "chroma_loss": chroma, "reg_loss": shading_reg,
     }
+    out.update(capacity_metrics(buffers))
+    return out

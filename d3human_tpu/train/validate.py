@@ -62,7 +62,7 @@ def validate_stage(key, model: GeometryModel, params: Dict, tex_module,
     _, buffers = jax.jit(
         lambda g, p, m, k: render_stage_mesh(
             k, model, g, p, tex_module, m, target, cfg,
-            msdf_sign=msdf_sign, raster_opts=raster_opts)
+            msdf_sign=msdf_sign, raster_opts=raster_opts, compact=False)
     )(params["geometry"], params["pose"], params["material"], key)
     strip = validation_strip(buffers, target)
     if return_buffers:
