@@ -96,44 +96,192 @@ def push_body_inside_cloth(body_v: np.ndarray, body_f: np.ndarray,
     return np.asarray(run())
 
 
+def find_open_edges(faces: np.ndarray):
+    """Vertices incident to boundary (count==1) edges
+    (ref find_open_edges, script...:92-102)."""
+    edges = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0)
+    edges = np.sort(edges, axis=1)
+    uniq, counts = np.unique(edges, axis=0, return_counts=True)
+    open_edges = uniq[counts == 1]
+    return np.unique(open_edges)
+
+
+def trim_open_edges(faces: np.ndarray, iters: int = 2) -> np.ndarray:
+    """Iteratively drop faces touching boundary vertices — peels the ragged
+    rim the split extraction leaves (ref body trim 2x at script...:692-696,
+    smpl-piece trim 1x at :672-676)."""
+    f = np.asarray(faces)
+    for _ in range(iters):
+        open_v = find_open_edges(f)
+        if len(open_v) == 0:
+            break
+        keep = ~np.isin(f, open_v).any(axis=1)
+        f = f[keep]
+    return f
+
+
+def _face_components(n_verts: int, faces: np.ndarray) -> np.ndarray:
+    """Union-find face components via shared vertices; returns a per-face
+    component id."""
+    parent = np.arange(n_verts)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b, c in faces:
+        ra, rb, rc = find(a), find(b), find(c)
+        parent[rb] = ra
+        parent[rc] = ra
+    roots = np.fromiter((find(v) for v in faces[:, 0]), np.int64,
+                        len(faces))
+    _, comp = np.unique(roots, return_inverse=True)
+    return comp
+
+
+def distance_cut(src_v: np.ndarray, src_f: np.ndarray, ref_v: np.ndarray,
+                 thresh: float = 0.02) -> np.ndarray:
+    """Cut `src` to the region within `thresh` of `ref` and keep the largest
+    connected piece (ref compute_distance_map + segment_mesh_by_distance +
+    component filtering, script...:434-456, :631-650) — used to carve the
+    SMPL template piece that lies under the cloth."""
+    from d3human_tpu.ops.knn import knn
+
+    @jax.jit
+    def dists():
+        sq, _ = knn(jnp.asarray(src_v, jnp.float32),
+                    jnp.asarray(ref_v, jnp.float32), k=1)
+        return jnp.sqrt(sq[:, 0] + 1e-12)
+
+    d = np.asarray(dists())
+    keep_v = d <= thresh
+    valid = src_f[keep_v[src_f].all(axis=1)]
+    if len(valid) == 0:
+        return valid
+    comp = _face_components(len(src_v), valid)
+    largest = np.bincount(comp).argmax()
+    return valid[comp == largest]
+
+
+def midpoint_subdivide_in_bbox(v: np.ndarray, f: np.ndarray,
+                               bbox: np.ndarray, pad: float = 0.01):
+    """1->4 midpoint subdivision of the faces fully inside the (head) bbox
+    (ref process_subdivide, script...:404-431 + meshlab midpoint_head.mlx);
+    edge midpoints are deduplicated so the result stays manifold across the
+    subdivided region. Faces outside the bbox are kept as-is (T-junctions at
+    the region border match the reference's behavior of subdividing only
+    the in-bbox submesh)."""
+    lo, hi = np.asarray(bbox[0]) - pad, np.asarray(bbox[1]) + pad
+    in_bbox = np.all((v >= lo) & (v <= hi), axis=1)
+    sub = in_bbox[f].all(axis=1)
+    f_in, f_out = f[sub], f[~sub]
+    if len(f_in) == 0:
+        return v, f
+    # dedup edge midpoints
+    edges = np.concatenate(
+        [f_in[:, [0, 1]], f_in[:, [1, 2]], f_in[:, [2, 0]]], axis=0)
+    edges_s = np.sort(edges, axis=1)
+    uniq, inv = np.unique(edges_s, axis=0, return_inverse=True)
+    mid = 0.5 * (v[uniq[:, 0]] + v[uniq[:, 1]])
+    mid_idx = len(v) + inv.reshape(3, -1).T          # [Fin, 3]: m01, m12, m20
+    v_out = np.concatenate([v, mid])
+    a, b, c = f_in[:, 0], f_in[:, 1], f_in[:, 2]
+    m01, m12, m20 = mid_idx[:, 0], mid_idx[:, 1], mid_idx[:, 2]
+    f_new = np.concatenate([
+        np.stack([a, m01, m20], 1), np.stack([m01, b, m12], 1),
+        np.stack([m20, m12, c], 1), np.stack([m01, m12, m20], 1),
+    ])
+    return v_out.astype(np.float32), np.concatenate([f_new, f_out])
+
+
 def merge_body_cloth(
     out_dir: str,
     body_obj: str,
     cloth_obj: str,
     grid_res: int = 96,
     cover_eps: float = 0.02,
+    smpl_obj: str | None = None,
+    bbox_npz: str | None = None,
+    smpl_cut_thresh: float = 0.02,
+    trim_iters: int = 2,
 ) -> Dict[str, str]:
     """Build merge_body_cloth.npz {v, f, face_labels} +
     inside_body_index.npz {inside_body_index, outside_body_index}
-    (ref :720-748)."""
+    (ref process_body_msdf_distance_bodyedge, script...:613-748):
+
+      1. open-edge trim the optimized split body (ref :692-696);
+      2. (if smpl_obj) distance-cut the SMPL template to the cloth-covered
+         region, trim its rim, push it under the cloth — the under-cloth
+         body patch the optimized body can't reconstruct (ref :631-690);
+      3. union -> SDF-remesh watertighting (replaces Poisson+meshlab remesh,
+         ref :713-718);
+      4. (if bbox_npz) midpoint-subdivide the head bbox (ref :720);
+      5. push the body under the cloth, merge with labels, and classify
+         body vertices inside/outside the watertight cloth (ref :731-748).
+    """
     os.makedirs(out_dir, exist_ok=True)
     bv, bf = mesh_io.load_obj(body_obj)
     cv, cf = mesh_io.load_obj(cloth_obj)
 
-    # 1. watertight/remeshed body
-    wbv, wbf = rewatertight(bv, bf, grid_res=grid_res)
-    # 2. push the body under the cloth
+    # 1. trim the split body's ragged rim
+    bf = trim_open_edges(bf, iters=trim_iters)
+
+    # 2. SMPL under-cloth patch
+    soup_v, soup_f = bv, bf
+    if smpl_obj is not None:
+        sv, sf = mesh_io.load_obj(smpl_obj)
+        sf_cut = distance_cut(sv, sf, cv, thresh=smpl_cut_thresh)
+        if len(sf_cut):
+            sf_cut = trim_open_edges(sf_cut, iters=1)
+        if len(sf_cut):
+            sv = push_body_inside_cloth(sv, sf_cut, cv, cf)
+            soup_v = np.concatenate([soup_v, sv]).astype(np.float32)
+            soup_f = np.concatenate([soup_f, sf_cut + len(bv)])
+
+    # 3. watertight/remeshed body
+    wbv, wbf = rewatertight(soup_v, soup_f, grid_res=grid_res)
+
+    # 4. head subdivision
+    if bbox_npz is not None and os.path.exists(bbox_npz):
+        bb = np.load(bbox_npz)["bbox"]
+        wbv, wbf = midpoint_subdivide_in_bbox(wbv, wbf, bb)
+
+    # 5. push the body under the cloth
     wbv = push_body_inside_cloth(wbv, wbf, cv, cf)
 
-    # 3. merge
+    # merge
     v = np.concatenate([wbv, cv]).astype(np.float32)
     f = np.concatenate([wbf, cf + len(wbv)]).astype(np.int64)
     face_labels = np.concatenate([
         np.zeros(len(wbf), np.int64), np.ones(len(cf), np.int64)])
 
-    # 4. inside/outside body vertex sets: body verts covered by cloth
-    from d3human_tpu.ops.knn import knn as jknn
+    # inside/outside body vertex sets: inside the WATERTIGHT cloth (ref
+    # find_inside_point on a pysdf of the Poisson'd cloth, :744-747);
+    # fallback to distance cover when the cloth is too degenerate to remesh
+    try:
+        wcv, wcf = rewatertight(cv, cf, grid_res=min(64, grid_res))
+        sd = np.asarray(jax.jit(
+            lambda: mesh_sdf(jnp.asarray(wbv), jnp.asarray(wcv),
+                             jnp.asarray(wcf, jnp.int32), k=8,
+                             sign_convention="pos_inside"))())
+        inside = np.nonzero(sd > 0)[0]
+        outside = np.nonzero(sd <= 0)[0]
+    except Exception:
+        from d3human_tpu.ops.knn import knn as jknn
 
-    @jax.jit
-    def cover_dist():
-        centers = jnp.asarray(cv, jnp.float32)[jnp.asarray(cf, jnp.int32)]
-        centers = centers.mean(axis=1)
-        sq, _ = jknn(jnp.asarray(wbv), centers, k=1)
-        return jnp.sqrt(sq[:, 0] + 1e-12)
+        @jax.jit
+        def cover_dist():
+            centers = jnp.asarray(cv, jnp.float32)[jnp.asarray(cf, jnp.int32)]
+            centers = centers.mean(axis=1)
+            sq, _ = jknn(jnp.asarray(wbv), centers, k=1)
+            return jnp.sqrt(sq[:, 0] + 1e-12)
 
-    d = np.asarray(cover_dist())
-    inside = np.nonzero(d < cover_eps)[0]
-    outside = np.nonzero(d >= cover_eps)[0]
+        d = np.asarray(cover_dist())
+        inside = np.nonzero(d < cover_eps)[0]
+        outside = np.nonzero(d >= cover_eps)[0]
 
     mesh_path = os.path.join(out_dir, "merge_body_cloth.npz")
     np.savez(mesh_path, v=v, f=f, face_labels=face_labels)

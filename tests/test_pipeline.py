@@ -106,3 +106,97 @@ def test_merge_body_cloth(tmp_path):
     # covered body verts (top) are "inside"
     assert len(idx["inside_body_index"]) > 0
     assert len(idx["outside_body_index"]) > 0
+
+
+def test_trim_open_edges_peels_rim_keeps_closed():
+    from d3human_tpu.pipeline.template import find_open_edges, trim_open_edges
+
+    v, f = icosphere(radius=0.4, n=2)
+    # closed mesh: no open edges, trim is identity
+    assert len(find_open_edges(f)) == 0
+    assert trim_open_edges(f, iters=3).shape == f.shape
+    # holey mesh: trimming removes the ragged rim faces
+    holey = f[:-20]
+    t = trim_open_edges(holey, iters=1)
+    assert 0 < len(t) < len(holey)
+    assert not np.isin(t, find_open_edges(holey)).any()
+
+
+def test_distance_cut_keeps_largest_covered_component():
+    from d3human_tpu.pipeline.template import distance_cut
+
+    v, f = icosphere(radius=0.5, n=2)
+    # reference points cover the top cap AND a tiny patch at the bottom
+    top = v[v[:, 1] > 0.25]
+    bottom = v[v[:, 1] < -0.45][:2]
+    ref = np.concatenate([top, bottom])
+    cut = distance_cut(v, f, ref, thresh=0.12)
+    assert len(cut) > 0
+    centers = v[cut].mean(axis=1)
+    # largest connected covered piece = the top cap only
+    assert (centers[:, 1] > 0.0).all()
+
+
+def test_midpoint_subdivide_in_bbox():
+    from d3human_tpu.pipeline.template import midpoint_subdivide_in_bbox
+
+    v, f = icosphere(radius=0.5, n=1)
+    bbox = np.asarray([[-1, 0.0, -1], [1, 1, 1]], np.float32)  # top half
+    v2, f2 = midpoint_subdivide_in_bbox(v, f, bbox, pad=0.0)
+    in_faces = (v[f].mean(1)[:, 1] >= 0).sum()
+    n_in = ((v[f][..., 1] >= 0).all(axis=1)).sum()
+    assert len(f2) == len(f) - n_in + 4 * n_in
+    # midpoints welded: subdivided region edge count is consistent
+    assert len(v2) > len(v)
+    # all new verts on edges of old in-bbox faces
+    assert np.abs(np.linalg.norm(v2[len(v):], axis=1)).max() <= 0.51
+
+
+def test_merge_degraded_split_matches_clean(tmp_path):
+    """VERDICT r1 item 6: a holey, multi-island split body must produce
+    (through trim + SMPL patch + SDF watertighting) nearly the same seq
+    template as the clean split."""
+    from d3human_tpu.pipeline.template import merge_body_cloth
+    from d3human_tpu.utils.metrics import mesh_chamfer
+    import jax.numpy as jnp
+
+    bv, bf = icosphere(radius=0.4, n=2)
+    cv, cf = icosphere(radius=0.45, n=2)
+    cf = cf[np.asarray([c[1] > 0 for c in cv[cf].mean(1)])]
+    # degraded body: drop 15% of faces (holes) + add a floating island
+    rng = np.random.default_rng(0)
+    keep = rng.random(len(bf)) > 0.15
+    iv, ifc = icosphere(radius=0.03, center=(0.9, 0.9, 0.0), n=0)
+    dv = np.concatenate([bv, iv])
+    df = np.concatenate([bf[keep], ifc + len(bv)])
+    # SMPL template stand-in: a slightly smaller sphere
+    sv, sf = icosphere(radius=0.38, n=2)
+
+    def run(name, body_v, body_f):
+        from d3human_tpu.pipeline.components import process_close_hole
+
+        d = tmp_path / name
+        d.mkdir()
+        body_obj, cloth_obj = str(d / "b.obj"), str(d / "c.obj")
+        smpl_obj = str(d / "s.obj")
+        mesh_io.write_obj(body_obj, body_v, body_f)
+        mesh_io.write_obj(cloth_obj, cv, cf)
+        mesh_io.write_obj(smpl_obj, sv, sf)
+        # the real stage graph routes splits through close_hole first
+        # (island surgery), then the msdf-cut merge (ref train.py:1843-1858)
+        ch = process_close_hole(str(d / "ch"), body_obj, cloth_obj)
+        out = merge_body_cloth(str(d), ch["body"], ch["cloth"], grid_res=24,
+                               cover_eps=0.09, smpl_obj=smpl_obj,
+                               trim_iters=1)
+        z = np.load(out["mesh"])
+        body = z["f"][z["face_labels"] == 0]
+        return jnp.asarray(z["v"]), jnp.asarray(body.astype(np.int32))
+
+    cv_clean, cf_clean = run("clean", bv, bf)
+    cv_deg, cf_deg = run("deg", dv, df)
+    ch = float(mesh_chamfer(cv_clean, cf_clean, cv_deg, cf_deg,
+                            n_samples=4000))
+    # chamfer between the two body templates under one remesh grid cell
+    # (cell ~ 0.8/24 = 0.033; the 15%-hole degradation is real missing
+    # geometry the SDF fill reconstructs to within a cell)
+    assert ch < 0.03, ch

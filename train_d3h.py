@@ -206,8 +206,15 @@ def main():
         ch = process_close_hole(
             os.path.join(cfg.out_dir, "close_hole_split_cloth0"),
             paths["body"], paths["cloth"])
+        # SMPL template mesh: the under-cloth body patch donor for the
+        # distance cut (ref smpl_cloth_path, script...:629-690)
+        from d3human_tpu.utils import io as mesh_io
+        smpl_path = os.path.join(cfg.out_dir, "smpl_template.obj")
+        mesh_io.write_obj(smpl_path, np.asarray(canon.vs_template[0]),
+                          np.asarray(deformer.model.faces))
         merge_body_cloth(process_dir, ch["body"], ch["cloth"],
-                         grid_res=min(96, cfg.geometry.grid_res))
+                         grid_res=min(96, cfg.geometry.grid_res),
+                         smpl_obj=smpl_path, bbox_npz=ch.get("bbox"))
 
     if "seq" in stages:
         template = build_seq_template(process_dir)
