@@ -124,6 +124,12 @@ class LossConfig:
     use_mesh_msdf_reg: bool = True
     collision_push_eps: float = 0.005  # ref hmsdf.py:98
     perceptual_crop: int = 448          # ref hmsdf.py:1072
+    # 'mobilenet' = the reference's MobileNetV2 taps [2,4,7]
+    # (models/mobilenet.py; pretrained when perceptual_npz exists, else
+    # deterministic He-init — A/B: scripts/ab_perceptual.py).
+    # 'conv' = the lighter 3-tap random-projection pyramid.
+    perceptual_backbone: str = "conv"
+    perceptual_npz: str = "d3human_tpu/data/mobilenet_v2_features.npz"
 
 
 @dataclass(frozen=True)
@@ -220,7 +226,10 @@ def _apply_overrides(cfg: Config, data: Mapping[str, Any]) -> Config:
     sections = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
     top: dict = {}
     for key, value in data.items():
-        if key in _FLAT_KEYS:
+        # 'loss' is both a flat reference FLAGS key (the image-loss name) and
+        # a section name — a dict value always means the section
+        if key in _FLAT_KEYS and not (key in sections
+                                      and isinstance(value, Mapping)):
             sec, name = _FLAT_KEYS[key]
             value = _tup(value)
             if sec is None:

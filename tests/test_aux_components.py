@@ -173,3 +173,22 @@ def test_checkpoint_full_state_resume_bit_identical(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b),
             err_msg=jax.tree_util.keystr(pa))
+
+
+def test_config_loss_key_is_both_flat_and_section(tmp_path):
+    """'loss' in JSON = the reference FLAGS image-loss name when a string
+    (ref train.py:1557), the LossConfig section when a dict."""
+    import json
+
+    from d3human_tpu.config import load_config
+
+    p = tmp_path / "a.json"
+    p.write_text(json.dumps({"loss": "mse"}))
+    assert load_config(str(p)).loss.loss == "mse"
+
+    p2 = tmp_path / "b.json"
+    p2.write_text(json.dumps(
+        {"loss": {"perceptual_backbone": "mobilenet", "loss": "smape"}}))
+    cfg = load_config(str(p2))
+    assert cfg.loss.perceptual_backbone == "mobilenet"
+    assert cfg.loss.loss == "smape"

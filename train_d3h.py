@@ -125,8 +125,14 @@ def main():
     mx = jnp.concatenate([jnp.asarray(cfg.render.kd_max[:3]),
                           jnp.asarray(cfg.render.ks_max)])
     tex = MLPTexture3D(cfg.texture, (mn, mx))
-    perceptual = ConvPerceptual()
-    perc_params = perceptual.init()
+    if cfg.loss.perceptual_backbone == "mobilenet":
+        from d3human_tpu.models.mobilenet import MobileNetFeatures
+
+        perceptual = MobileNetFeatures()
+        perc_params = perceptual.init(cfg.loss.perceptual_npz)
+    else:
+        perceptual = ConvPerceptual()
+        perc_params = perceptual.init()
 
     params = {
         "geometry": gparams,
