@@ -62,12 +62,14 @@ def _imread(path: str) -> np.ndarray:
 
 
 def _resize(img: np.ndarray, res) -> np.ndarray:
+    """res is (H, W) — the framework-wide resolution convention
+    (render/pipeline.py unpacks H, W = resolution). cv2's dsize is (W, H)."""
     if cv2 is not None:
-        return cv2.resize(img, (res[0], res[1]))
+        return cv2.resize(img, (res[1], res[0]))
     # nearest fallback
     h, w = img.shape[:2]
-    yi = (np.arange(res[1]) * h // res[1]).clip(0, h - 1)
-    xi = (np.arange(res[0]) * w // res[0]).clip(0, w - 1)
+    yi = (np.arange(res[0]) * h // res[0]).clip(0, h - 1)
+    xi = (np.arange(res[1]) * w // res[1]).clip(0, w - 1)
     return img[yi][:, xi]
 
 

@@ -124,6 +124,12 @@ class GeometryModel:
             "deform": jnp.zeros((N, 3)),                     # ref :316-319
             "nonrigid": self.nonrigid.init(ks[2]),
             "body_nonrigid": self.nonrigid.init(ks[3]),
+            # cond/render_cond: INTENTIONAL BALLAST for optimizer-surface
+            # parity. The reference creates these per-frame latents
+            # (hmsdf.py:331-339) and gives 'cond' an Adam in the seq stage
+            # (train.py:1296-1304) but NO forward path ever reads them —
+            # seq conditioning uses fix_code (hmsdf.py:659). Kept so the
+            # trainable-parameter census and optimizer groups match.
             "cond": jax.random.uniform(ks[4], (n_images + 1, cd)),
             "render_cond": jax.random.uniform(ks[5], (n_images + 1, cd)),
             "fix_code": 0.1 * jax.random.normal(ks[6], (1, 1, pcd)),

@@ -111,7 +111,13 @@ def run_stage(
             maybe_validate(it)
     save_state(os.path.join(save_path, "ckp", f"state_{n_iters - 1}.npz"),
                state)
-    maybe_validate(n_iters - 1)
+    final_metrics = maybe_validate(n_iters - 1)
+    if final_metrics is not None:
+        import json
+
+        with open(os.path.join(save_path, "validate",
+                               "final_metrics.json"), "w") as fh:
+            json.dump({"iter": n_iters - 1, **final_metrics}, fh)
     logger.close()
     return state
 

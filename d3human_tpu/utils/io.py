@@ -41,7 +41,8 @@ def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
             elif parts[0] == "f":
                 idx = [int(p.split("/")[0]) - 1 for p in parts[1:4]]
                 faces.append(idx)
-    return np.asarray(verts, np.float32), np.asarray(faces, np.int64)
+    return (np.asarray(verts, np.float32).reshape(-1, 3),
+            np.asarray(faces, np.int64).reshape(-1, 3))
 
 
 def write_ply(path: str, verts: np.ndarray, faces: np.ndarray,
@@ -71,6 +72,35 @@ def write_ply(path: str, verts: np.ndarray, faces: np.ndarray,
         rec["n"] = 3
         rec["idx"] = faces
         f.write(rec.tobytes())
+
+
+def read_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Read the binary-little-endian plys this module writes (verts+faces;
+    vertex colors, when present, are skipped)."""
+    with open(path, "rb") as f:
+        n_verts = n_faces = 0
+        has_color = False
+        while True:
+            line = f.readline().decode().strip()
+            if line.startswith("element vertex"):
+                n_verts = int(line.split()[-1])
+            elif line.startswith("element face"):
+                n_faces = int(line.split()[-1])
+            elif line.startswith("property uchar red"):
+                has_color = True
+            elif line == "end_header":
+                break
+        if has_color:
+            rec = np.frombuffer(
+                f.read(n_verts * 15),
+                dtype=[("xyz", "<f4", 3), ("rgb", "u1", 3)])
+            verts = np.array(rec["xyz"], np.float32)
+        else:
+            verts = np.frombuffer(f.read(n_verts * 12), "<f4").reshape(
+                n_verts, 3).copy()
+        rec = np.frombuffer(f.read(n_faces * 13),
+                            dtype=[("n", "u1"), ("idx", "<i4", 3)])
+        return verts, np.array(rec["idx"], np.int64)
 
 
 def save_image(path: str, img: np.ndarray) -> None:

@@ -108,23 +108,23 @@ def main():
     # loss forward only
     from d3human_tpu.train import losses as L
 
-    def loss_fwd(i, p, tgt):
+    def loss_fwd(i, c, p, tgt):
         out = L.tick_init(jax.random.fold_in(jax.random.PRNGKey(0), i),
-                          model.bind(consts), p["geometry"], p["pose"], tex,
+                          model.bind(c), p["geometry"], p["pose"], tex,
                           p["material"], perceptual, perc_params, tgt,
                           i, cfg, None)
         return out["total"]
 
-    scan_time("loss fwd (tick_init)", loss_fwd, params, target)
+    scan_time("loss fwd (tick_init)", loss_fwd, consts, params, target)
 
-    def loss_grad(i, p, tgt):
+    def loss_grad(i, c, p, tgt):
         def f(p):
-            return loss_fwd(i, p, tgt)
+            return loss_fwd(i, c, p, tgt)
 
         g = jax.grad(f)(p)
         return sum(jnp.sum(x) for x in jax.tree.leaves(g))
 
-    scan_time("loss fwd+bwd", loss_grad, params, target)
+    scan_time("loss fwd+bwd", loss_grad, consts, params, target)
 
     # full step via python-loop dispatch for comparison
     box = {"s": state}

@@ -63,12 +63,55 @@ def parse_args():
     return p.parse_args()
 
 
+def _synth_gt_mesh(scene, frame: int, gt_pose=None):
+    """GT posed surface of the synthetic capture at one frame. gt_pose is a
+    numpy snapshot taken before training (the live pose arrays are donated
+    into the jitted step and deleted)."""
+    pp = gt_pose if gt_pose is not None else scene.pose_params
+    sl = lambda n: jnp.asarray(np.asarray(pp[n])[frame: frame + 1])
+    v, _, _ = scene.model.forward(
+        betas=jnp.asarray(np.asarray(pp["shape"])),
+        root_pose=sl("root_pose"), body_pose=sl("body_pose"),
+        transl=sl("trans"))
+    return np.asarray(v[0]), np.asarray(scene.model.faces)
+
+
 def main():
     args = parse_args()
     cfg = load_config(args.config, overrides={"out_dir": args.out_dir})
     os.makedirs(cfg.out_dir, exist_ok=True)
     stages = args.stages.split(",")
     s = lambda n: max(2, int(n * args.iters_scale))
+
+    # ---- parity bookkeeping (BASELINE.md protocol: per-stage Chamfer vs GT
+    # geometry + PSNR/IoU from the validation pass; on synthetic scenes the
+    # GT posed mesh is exactly known) --------------------------------------
+    import json as _json
+
+    parity: dict = {"config": args.config, "iters_scale": args.iters_scale,
+                    "stages": {}}
+
+    def record_parity(stage_name, stage_dir, mesh_paths=None, scene=None,
+                      frame=0):
+        entry = {}
+        fm = os.path.join(stage_dir, "validate", "final_metrics.json")
+        if os.path.exists(fm):
+            entry.update(_json.load(open(fm)))
+        if scene is not None and mesh_paths:
+            from d3human_tpu.utils import io as _io
+            from d3human_tpu.utils.metrics import mesh_chamfer
+
+            gt_v, gt_f = _synth_gt_mesh(scene, frame, gt_pose)
+            for name, path in mesh_paths.items():
+                v, f = _io.load_obj(path)
+                if len(f) == 0:
+                    continue
+                entry[f"chamfer_{name}"] = round(
+                    mesh_chamfer(v, f, gt_v, gt_f), 6)
+        parity["stages"][stage_name] = entry
+        with open(os.path.join(cfg.out_dir, "PARITY.json"), "w") as fh:
+            _json.dump(parity, fh, indent=1)
+        print(f"[parity] {stage_name}: {entry}", flush=True)
 
     key = jax.random.PRNGKey(cfg.seed)
 
@@ -80,6 +123,8 @@ def main():
         pose_params = scene.pose_params
         n_images = scene.n_frames
         get_target = scene.frame_target
+        # numpy snapshot of GT poses (live arrays are donated into the step)
+        gt_pose = {k: np.asarray(v) for k, v in scene.pose_params.items()}
     else:
         from d3human_tpu.data.dataset import FrameDataset, composite_background
         data_root = os.path.join(args.trainset_path, args.folder_name)
@@ -179,6 +224,8 @@ def main():
                                     "final")
         process_close_hole(os.path.join(cfg.out_dir, "close_hole_smpl"),
                            paths["body"], paths["cloth"])
+        record_parity("split_smpl", sdir, paths,
+                      scene if args.synthetic else None)
 
     if "init" in stages:
         params = dict(params)
@@ -195,6 +242,9 @@ def main():
                           jax.random.fold_in(kRun, 1), model,
                           start_it=start_it, tex_module=tex)
         params = state.params
+        paths = export_stage_meshes(model, params, sdir, "final")
+        record_parity("init", sdir, {"watertight": paths["watertight"]},
+                      scene if args.synthetic else None)
 
     process_dir = os.path.join(cfg.out_dir, "processsplit_cloth0")
     if "split" in stages:
@@ -209,6 +259,8 @@ def main():
         paths = export_stage_meshes(model, params,
                                     os.path.join(cfg.out_dir, "split_cloth0"),
                                     "final")
+        record_parity("split", sdir, paths,
+                      scene if args.synthetic else None)
         ch = process_close_hole(
             os.path.join(cfg.out_dir, "close_hole_split_cloth0"),
             paths["body"], paths["cloth"])
@@ -238,6 +290,34 @@ def main():
                       n_frames=n_images, cfg=cfg_seq,
                       save_path=os.path.join(cfg.out_dir, "seq"),
                       key=jax.random.fold_in(kRun, 3), model=model)
+        if args.synthetic:
+            # per-frame Chamfer of the fitted seq meshes vs the GT posed
+            # surfaces (BASELINE.md protocol on fine_all_*.ply)
+            from d3human_tpu.utils.metrics import mesh_chamfer
+            import re as _re
+
+            from d3human_tpu.utils.io import read_ply
+
+            seq_dir = os.path.join(cfg.out_dir, "seq")
+            chs = []
+            for fn in sorted(os.listdir(seq_dir)):
+                m = _re.match(r"fine_all_(\d+)\.ply", fn)
+                if not m:
+                    continue
+                frame = int(m.group(1))
+                v, f = read_ply(os.path.join(seq_dir, fn))
+                gt_v, gt_f = _synth_gt_mesh(scene, frame, gt_pose)
+                chs.append(mesh_chamfer(v, f, gt_v, gt_f))
+            if chs:
+                record_parity("seq", seq_dir, None)
+                parity["stages"]["seq"].update({
+                    "chamfer_per_frame_mean": round(float(np.mean(chs)), 6),
+                    "chamfer_per_frame_max": round(float(np.max(chs)), 6),
+                    "n_frames": len(chs)})
+                with open(os.path.join(cfg.out_dir, "PARITY.json"),
+                          "w") as fh:
+                    import json as _j
+                    _j.dump(parity, fh, indent=1)
 
     print("[done]", flush=True)
 
