@@ -17,8 +17,10 @@ algorithm with the mSDF negated for the body half):
 
 TPU-first shape strategy (instead of torch.unique / boolean indexing):
   * the tet grid topology is static, so vertex identity == grid-edge
-    identity; crossing edges are compacted with ``jnp.nonzero(size=MAX_V)``;
-  * sign-mixed tets are compacted with ``jnp.nonzero(size=MAX_T)``;
+    identity; crossing edges are compacted to MAX_V slots;
+  * sign-mixed tets are compacted to MAX_T slots (both via the
+    searchsorted-over-cumsum compaction in ops/compaction.py — TPU's
+    sized-nonzero lowers through a sort and was the profiled hot spot);
   * every compacted tet owns a fixed block of 4 boundary-vertex slots and 4
     cut-face slots (the per-case maxima), masked by validity — no second
     compaction, no dynamic shapes anywhere.
@@ -35,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from d3human_tpu.ops.compaction import first_k_indices
 from d3human_tpu.ops.tet_grid import (
     EDGE_CLASSES, KUHN_PATHS, TetGrid,
 )
@@ -220,7 +223,7 @@ def gshell_extract(
     else:
         e0, e1 = grid.edges[:E, 0], grid.edges[:E, 1]
         crossing = occ[e0] != occ[e1]
-    (vert_slots,) = jnp.nonzero(crossing, size=MV, fill_value=E)
+    vert_slots = first_k_indices(crossing, MV, E)
     vert_ok = vert_slots < E
 
     va = grid.edges[vert_slots, 0]
@@ -248,7 +251,7 @@ def gshell_extract(
         occ4_all = occ[grid.tets]                                  # [T, 4]
         occ_sum = jnp.sum(occ4_all, axis=-1)
         valid_tet = (occ_sum > 0) & (occ_sum < 4)
-    (tet_slots,) = jnp.nonzero(valid_tet, size=MT, fill_value=T)
+    tet_slots = first_k_indices(valid_tet, MT, T)
     tet_ok = tet_slots < T
     tet_slots_c = jnp.clip(tet_slots, 0, T - 1)
 

@@ -7,16 +7,16 @@ and the winner encoded as a packed (quantized-z | slot) int32 so the
 min-reduction needs no gather — the slot->face-id lookup happens outside in
 XLA on the tiny (H, W) result.
 
-Layout per tile (pre-gathered by XLA from the binning stage; trailing dims
-fully covered by the block so Mosaic accepts the specs):
-  A   [NT, 2, 3*MFPT]  edge-function coefficients (x/y rows, EDGE-major:
-                       columns [edge0 faces | edge1 | edge2])
-  C   [NT, 3, MFPT]    edge-function offsets (row per edge)
-  ZP  [NT, 3, MFPT]    z-plane (az, bz, cz)
-  LV  [NT, 1, MFPT]    1.0 live / 0.0 dead
+Data layout (v2, profiled): ALL per-face kernel inputs are packed into ONE
+fused 16-float row — [A0x A0y A1x A1y A2x A2y | C0 C1 C2 | az bz cz | live |
+pad(3)] — so the binning stage performs ONE [NT, M]-row gather from a
+[F, 16] table and NO transposes (the v1 layout's three separate gathers +
+edge-major relayouts dominated the raster cost at 1080^2). The kernel
+contracts pixel coordinates against row columns with dot_general, which the
+MXU consumes directly in face-major order.
 
 Packing: key = (quantized_z << SLOT_BITS) | slot, minimized per pixel.
-z in [-1, 1] NDC maps to [0, 2^21); SLOT_BITS=10 supports MFPT <= 1024.
+z in [-1, 1] NDC maps to [0, 2^21); SLOT_BITS=10 supports M <= 1024 slots.
 """
 
 from __future__ import annotations
@@ -33,37 +33,56 @@ SLOT_BITS = 10
 Z_BITS = 21
 Z_SCALE = float((1 << Z_BITS) - 1)
 MISS_KEY = (1 << 31) - 1   # max int32: any hit beats it
+ROW_W = 16                 # fused face-row width
 
 
-def _resolve_kernel(A_ref, C_ref, ZP_ref, LV_ref, out_ref,
-                    *, th: int, tw: int, ntx: int, mfpt: int, block: int):
+def pack_face_rows(A: jnp.ndarray, C: jnp.ndarray, az, bz, cz,
+                   live: jnp.ndarray) -> jnp.ndarray:
+    """[F,3,2] edge coeffs + [F,3] offsets + z-plane + live -> [F, 16]."""
+    F = A.shape[0]
+    return jnp.concatenate([
+        A.reshape(F, 6),
+        C,
+        az[:, None], bz[:, None], cz[:, None],
+        live.astype(jnp.float32)[:, None],
+        jnp.zeros((F, 3), jnp.float32),
+    ], axis=-1)
+
+
+def _resolve_kernel(rows_ref, out_ref, *, th: int, tw: int, ntx: int,
+                    m: int, block: int):
     t = pl.program_id(0)
     ox = ((t % ntx) * tw).astype(jnp.float32)
     oy = ((t // ntx) * th).astype(jnp.float32)
-    # pixel centers of this tile as [P, 1] columns (P = th*tw)
     P = th * tw
     lin = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     px = (lin % tw).astype(jnp.float32) + 0.5 + ox
     py = (lin // tw).astype(jnp.float32) + 0.5 + oy
     pix = jnp.concatenate([px, py], axis=1)              # [P, 2]
+    pxy1 = jnp.concatenate([px, py, jnp.ones_like(px)], axis=1)   # [P, 3]
 
-    nb = mfpt // block
+    nb = m // block
 
     def body(b, best):
-        # edge-major layout: columns [edge0 | edge1 | edge2], each mfpt wide
+        rows = rows_ref[0, pl.ds(b * block, block), :]   # [block, 16]
+
+        # E_k[P, block] = pix @ A_k^T + C_k  — face-major dot_general
         def edge(k):
-            ak = A_ref[0, :, pl.ds(k * mfpt + b * block, block)]
-            ck = C_ref[0, k:k + 1, pl.ds(b * block, block)]
-            return jnp.dot(pix, ak, preferred_element_type=jnp.float32) + ck
+            ak = rows[:, 2 * k: 2 * k + 2]               # [block, 2]
+            e = jax.lax.dot_general(
+                pix, ak, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return e + rows[:, 6 + k][None, :]
 
         E0, E1, E2 = edge(0), edge(1), edge(2)
         inside = (((E0 >= 0) & (E1 >= 0) & (E2 >= 0))
                   | ((E0 <= 0) & (E1 <= 0) & (E2 <= 0)))
 
-        zp = ZP_ref[0, :, pl.ds(b * block, block)]
-        lv = LV_ref[0, :, pl.ds(b * block, block)]
-        z = px * zp[0:1, :] + py * zp[1:2, :] + zp[2:3, :]
-        hit = inside & (lv > 0.5)
+        # z[P, block] = px*az + py*bz + cz via one dot against [block, 3]
+        z = jax.lax.dot_general(
+            pxy1, rows[:, 9:12], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        hit = inside & (rows[:, 12][None, :] > 0.5)
         zq = jnp.clip((z + 1.0) * (0.5 * Z_SCALE), 0.0, Z_SCALE)
         zq = zq.astype(jnp.int32)
         slot = jax.lax.broadcasted_iota(jnp.int32, (P, block), 1) + b * block
@@ -77,46 +96,37 @@ def _resolve_kernel(A_ref, C_ref, ZP_ref, LV_ref, out_ref,
 
 
 def resolve_tiles_pallas(
-    A: jnp.ndarray,            # [NT, 2, 3*MFPT] edge-major
-    C: jnp.ndarray,            # [NT, 3, MFPT]
-    ZP: jnp.ndarray,           # [NT, 3, MFPT]
-    LV: jnp.ndarray,           # [NT, 1, MFPT]
+    tile_rows: jnp.ndarray,    # [NT, M, 16] fused face rows per tile
     tile: Tuple[int, int],
     ntx: int,
     block: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns packed keys [NT, th*tw] int32 (MISS_KEY = background)."""
-    NT, _, m3 = A.shape
-    mfpt = m3 // 3
+    NT, M, _ = tile_rows.shape
     th, tw = tile
-    assert mfpt % block == 0
+    assert M % block == 0
+    assert M <= (1 << SLOT_BITS), "slot field supports <= 1024 faces/tile"
 
     kernel = functools.partial(_resolve_kernel, th=th, tw=tw, ntx=ntx,
-                               mfpt=mfpt, block=block)
+                               m=M, block=block)
     out = pl.pallas_call(
         kernel,
         grid=(NT,),
         in_specs=[
-            pl.BlockSpec((1, 2, m3), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, mfpt), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, mfpt), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, mfpt), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, M, ROW_W), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, th * tw), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NT, 1, th * tw), jnp.int32),
         interpret=interpret,
-    )(A, C, ZP, LV)
+    )(tile_rows)
     return out[:, 0, :]
 
 
 def unpack_keys(keys: jnp.ndarray, tile_faces: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """keys [NT, P] + tile_faces [NT, MFPT] -> (tri_id+1 [NT,P], z [NT,P])."""
+    """keys [NT, P] + tile_faces [NT, M] -> (tri_id+1 [NT,P], z [NT,P])."""
     miss = keys == MISS_KEY
     slot = keys & ((1 << SLOT_BITS) - 1)
     zq = (keys >> SLOT_BITS).astype(jnp.float32)

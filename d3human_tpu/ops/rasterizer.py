@@ -38,6 +38,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from d3human_tpu.ops.compaction import first_k_indices
+
 BG_SENTINEL_Z = 3.4e38
 
 
@@ -230,7 +232,7 @@ def rasterize(
     tile_live = in_list
 
     # global (oversize) face list
-    (big_idx,) = jnp.nonzero(big, size=max_global, fill_value=F)
+    big_idx = first_k_indices(big, max_global, F)
     big_ok = big_idx < F
     big_idx_c = jnp.clip(big_idx, 0, F - 1)
 
@@ -238,34 +240,35 @@ def rasterize(
         backend = ("pallas" if jax.devices()[0].platform == "tpu" else "xla")
 
     if backend in ("pallas", "pallas_interpret"):
-        # unify tile lists + global list so the kernel sees one face set
+        # unify tile lists + global list so the kernel sees one face set;
+        # invalid slots point at a sentinel dead row (F) so the whole
+        # per-tile payload is ONE row-gather from the fused [F+1, 16] table
+        # (the previous 3-gather + edge-major-transpose prep dominated the
+        # raster cost at 1080^2)
         from d3human_tpu.ops.pallas_raster import (
-            resolve_tiles_pallas, unpack_keys,
+            pack_face_rows, resolve_tiles_pallas, unpack_keys,
         )
 
         G = max_global
-        all_faces = jnp.concatenate(
-            [tile_faces, jnp.broadcast_to(big_idx_c, (NT, G))], axis=1)
-        all_live = jnp.concatenate(
-            [tile_live, jnp.broadcast_to(big_ok, (NT, G))], axis=1)
+        all_faces = jnp.concatenate([
+            jnp.where(tile_live, tile_faces, F),
+            jnp.broadcast_to(jnp.where(big_ok, big_idx_c, F), (NT, G)),
+        ], axis=1)
         M = all_faces.shape[1]
         pad = (-M) % 128
         if pad:
-            all_faces = jnp.pad(all_faces, ((0, 0), (0, pad)))
-            all_live = jnp.pad(all_live, ((0, 0), (0, pad)))
+            all_faces = jnp.pad(all_faces, ((0, 0), (0, pad)),
+                                constant_values=F)
             M += pad
-        Af = A[all_faces]                          # [NT, M, 3, 2]
-        Cf = C[all_faces]                          # [NT, M, 3]
-        # edge-major: columns [edge0 faces | edge1 | edge2]
-        A_t = Af.transpose(0, 3, 2, 1).reshape(NT, 2, 3 * M)
-        C_t = Cf.transpose(0, 2, 1)                # [NT, 3, M]
-        ZP = jnp.stack([az[all_faces], bz[all_faces], cz[all_faces]],
-                       axis=1)                     # [NT, 3, M]
-        LV = all_live.astype(jnp.float32).reshape(NT, 1, M)
+        rows = pack_face_rows(A, C, az, bz, cz, live)       # [F, 16]
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)], axis=0)
+        tile_rows = rows[all_faces]                          # [NT, M, 16]
         keys = resolve_tiles_pallas(
-            A_t, C_t, ZP, LV, tile, ntx,
+            tile_rows, tile, ntx,
             interpret=(backend == "pallas_interpret"))
-        ids, zs = unpack_keys(keys, all_faces)
+        ids, zs = unpack_keys(keys, jnp.minimum(all_faces, F - 1))
+        # sentinel slots are never hit, but keep ids well-defined anyway
         ids = ids.reshape(NT, th, tw)
         zs = zs.reshape(NT, th, tw)
     else:
@@ -408,7 +411,7 @@ def compact_cover(rast: Rast, max_cov: int):
     scatter mode), fid clamped to a valid face."""
     flat = rast.tri_id.reshape(-1)
     npix = flat.shape[0]
-    (idx,) = jnp.nonzero(flat > 0, size=max_cov, fill_value=npix)
+    idx = first_k_indices(flat > 0, max_cov, npix)
     valid = idx < npix
     fid = jnp.maximum(flat[jnp.minimum(idx, npix - 1)] - 1, 0)
     return idx, valid, fid
@@ -494,7 +497,7 @@ def aa_pairs_compact(rast: Rast, resolution, axis: int, max_pairs: int,
     cand = aa_pair_candidates(rast, axis, z_thresh)
     flat = cand.reshape(-1)
     n = flat.shape[0]
-    (pidx,) = jnp.nonzero(flat, size=max_pairs, fill_value=n)
+    pidx = first_k_indices(flat, max_pairs, n)
     return pidx, pidx < n, jnp.sum(flat)
 
 

@@ -373,7 +373,8 @@ def render_mesh_full(
     max_cov = (int(npix * max_covered_frac) if max_covered_frac else npix)
     if max_cov < npix:
         flat_cov = cover.reshape(-1)
-        (cov_idx,) = jnp.nonzero(flat_cov, size=max_cov, fill_value=npix)
+        from d3human_tpu.ops.compaction import first_k_indices
+        cov_idx = first_k_indices(flat_cov, max_cov, npix)
         pts = jnp.concatenate(
             [gb_pos_orig.reshape(-1, 3), jnp.zeros((1, 3))], axis=0)[cov_idx]
         tex_c = tex_module.sample(tex_params, pts)
