@@ -24,6 +24,11 @@ import numpy as np
 
 REFERENCE_ITERS_PER_SEC = 3.0   # documented estimate, see module docstring
 
+# seq-stage V100 estimate: explicit-mesh path (no marching tets), ~140k-face
+# template at 1080^2 — nvdiffrast render_mask + 3 masked losses + LBS +
+# knn collision per iter (ref train.py:1354-1421). Engineering estimate.
+SEQ_REFERENCE_ITERS_PER_SEC = 5.0
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -117,10 +122,120 @@ def build3(scale):
     return state, step_fn, target
 
 
+def build_seq(scale: str):
+    """Seq-stage bench: explicit-template per-frame refinement at full
+    render scale (the reference's hot loop for 95% of its iterations —
+    train.py:1349-1421). The synthetic body is midpoint-subdivided to a
+    realistic merged-template face count (~141k faces, f3c-like)."""
+    from d3human_tpu.config import (
+        Config, GeometryConfig, RenderConfig, StageConfig, TextureConfig,
+    )
+    from d3human_tpu.data.synthetic import make_scene
+    from d3human_tpu.models.geometry import GeometryModel, SeqTemplate
+    from d3human_tpu.models.perceptual import ConvPerceptual
+    from d3human_tpu.models.texture import MLPTexture3D
+    from d3human_tpu.ops.mesh_ops import find_connected_faces
+    from d3human_tpu.ops.tet_grid import make_tet_grid
+    from d3human_tpu.pipeline.template import midpoint_subdivide_in_bbox
+    from d3human_tpu.render import light as light_mod
+    from d3human_tpu.train.step import TrainState, make_train_step
+
+    if scale == "full":
+        res, n_subdiv = (1080, 1080), 4          # 552 * 4^4 = 141k faces
+    elif scale == "medium":
+        res, n_subdiv = (720, 720), 3
+    else:
+        res, n_subdiv = (256, 256), 2
+
+    cfg = Config(
+        geometry=GeometryConfig(grid_res=16, max_verts=2 ** 12,
+                                max_tets=2 ** 12),
+        render=RenderConfig(train_res=res, texture_res=res),
+        stages=StageConfig(),
+    )
+    scene = make_scene(resolution=(64, 64), n_frames=2)
+    from d3human_tpu.render.camera import look_at, perspective
+    mvm = look_at(eye=(0.0, 0.0, 2.2), center=(0.0, 0.0, 0.0))
+    proj = perspective(fovy=0.9, aspect=1.0)
+    scene.mvp = jnp.asarray(proj @ mvm)
+    scene.campos = jnp.asarray(np.linalg.inv(mvm)[:3, 3])
+    scene.resolution = res
+
+    # subdivide the body to template scale
+    v = np.asarray(scene.model.v_template, np.float32)
+    f = np.asarray(scene.model.faces, np.int64)
+    big = (np.full(3, -1e9), np.full(3, 1e9))
+    for _ in range(n_subdiv):
+        v, f = midpoint_subdivide_in_bbox(v, f, big)
+    fverts = v[f]
+    cy = fverts[:, :, 1].mean(axis=1)
+    labels = ((cy > -0.1) & (cy < 0.35)).astype(np.int64)
+    vl = np.zeros(len(v), np.int64)
+    vl[np.unique(f[labels == 1])] = 1
+    connected, _ = find_connected_faces(f)
+    template = SeqTemplate(
+        v=jnp.asarray(v), f=jnp.asarray(f, jnp.int32),
+        v_labels=jnp.asarray(vl),
+        face_labels=jnp.asarray(labels, jnp.int32),
+        body_vidx=jnp.asarray(np.nonzero(vl == 0)[0], jnp.int32),
+        cloth_vidx=jnp.asarray(np.nonzero(vl == 1)[0], jnp.int32),
+        body_f=jnp.asarray(f[labels == 0], jnp.int32),
+        connected_faces=jnp.asarray(connected, jnp.int32),
+    )
+    print(f"# seq bench template: {len(v)} verts, {len(f)} faces",
+          file=sys.stderr)
+
+    grid = make_tet_grid(res=16,
+                         bounds=((-0.6, -0.8, -0.4), (0.6, 0.8, 0.4)),
+                         y_offset=0.0, scale=1.0)
+    model = GeometryModel(cfg, grid, scene.deformer, scene.canon)
+    key = jax.random.PRNGKey(0)
+    kt, kl = jax.random.split(key)
+    gparams = model.init_params(key, n_images=2)
+    tex = MLPTexture3D(cfg.texture, (jnp.zeros((6,)), jnp.ones((6,))))
+    perceptual = ConvPerceptual()
+    perc_params = perceptual.init()
+    params = {
+        "geometry": gparams,
+        "pose": scene.pose_params,
+        "material": tex.init(kt),
+        "light": light_mod.create_trainable_env(kl, cfg.render.probe_res),
+    }
+    tx, step_fn = make_train_step("seq", model, tex, perceptual,
+                                  perc_params, cfg, template=template)
+    state = TrainState(params=params, opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    target = scene.frame_target(0)
+    return state, step_fn, target, {"cfg": cfg}
+
+
 def main():
     scale = os.environ.get("BENCH_SCALE", "full")
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    if scale.startswith("seq"):
+        # BENCH_SCALE=seq[:full|medium|small] — seq-stage iters/sec
+        sub = scale.split(":")[1] if ":" in scale else "full"
+        state, step_fn, target, _ = build_seq(sub)
+        key = jax.random.PRNGKey(42)
+        for i in range(warmup):
+            state, aux = step_fn(state, target, jax.random.fold_in(key, i))
+        jax.block_until_ready(aux["total"])
+        t0 = time.time()
+        for i in range(iters):
+            state, aux = step_fn(state, target,
+                                 jax.random.fold_in(key, 100 + i))
+        jax.block_until_ready(aux["total"])
+        ips = iters / (time.time() - t0)
+        print(json.dumps({
+            "metric": f"seq-stage train iters/sec ({sub} scale: "
+                      f"subdivided template, raster res per config)",
+            "value": round(ips, 3),
+            "unit": "iters/sec",
+            "vs_baseline": round(ips / SEQ_REFERENCE_ITERS_PER_SEC, 3),
+        }))
+        return
 
     for attempt in ([scale, "medium", "small"] if scale == "full"
                     else [scale, "small"]):

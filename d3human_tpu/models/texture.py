@@ -140,14 +140,22 @@ class HashGridEncoding:
             f = frac[..., None, :]                                   # [..., 1, 3]
             cw = jnp.where(corners > 0, f, 1.0 - f)                  # [..., 8, 3]
             weight = cw[..., 0] * cw[..., 1] * cw[..., 2]            # [..., 8]
+            from d3human_tpu.ops.scatter import (
+                default_use_pallas, gather_rows,
+            )
+
             if self.dense[level]:
                 base = self._corner_index(level, x0)                 # [...]
                 packed = self.packed_table(table[level], level)
-                rows = jnp.take(packed, base, axis=0)                # [..., 8F]
+                # bwd = Pallas sorted-COO scatter into the packed rows
+                # (whose own transpose back to the canonical table is
+                # rolls — no further scatter)
+                rows = gather_rows(packed, base, default_use_pallas())
                 feats = rows.reshape(*rows.shape[:-1], 8, F)
             else:
                 idx = self._corner_index(level, x0[..., None, :] + corners)
-                feats = table[level][idx]                            # [..., 8, F]
+                feats = gather_rows(table[level], idx,
+                                    default_use_pallas())           # [..., 8, F]
             outs.append(jnp.sum(feats * weight[..., None], axis=-2))
         return jnp.concatenate(outs, axis=-1)
 

@@ -228,16 +228,24 @@ def gshell_extract(
 
     va = grid.edges[vert_slots, 0]
     vb = grid.edges[vert_slots, 1]
-    sdf_a, sdf_b = sdf[va], sdf[vb]
+    # ONE fused row per endpoint ([pos | sdf | msdf]) — and a Pallas
+    # sorted-COO scatter transpose on TPU (ops/scatter.py)
+    from d3human_tpu.ops.scatter import default_use_pallas, gather_rows
+
+    use_pl = default_use_pallas()
+    psm = jnp.concatenate([pos, sdf[:, None], msdf[:, None]], axis=-1)
+    rows_a = gather_rows(psm, va, use_pl)                         # [MV, 5]
+    rows_b = gather_rows(psm, vb, use_pl)
+    sdf_a, sdf_b = rows_a[:, 3], rows_b[:, 3]
     denom = _stable_denom(sdf_a - sdf_b)
     wa = -sdf_b / denom                   # gradient flows into the SDF here
     wb = sdf_a / denom
     wa = jnp.where(vert_ok, wa, 0.0)
     wb = jnp.where(vert_ok, wb, 0.0)
-    verts_wt = pos[va] * wa[:, None] + pos[vb] * wb[:, None]      # [MV, 3]
-    msdf_wt_grad = msdf[va] * wa + msdf[vb] * wb
-    msdf_wt_stop = (msdf[va] * jax.lax.stop_gradient(wa)
-                    + msdf[vb] * jax.lax.stop_gradient(wb))
+    verts_wt = rows_a[:, :3] * wa[:, None] + rows_b[:, :3] * wb[:, None]
+    msdf_wt_grad = rows_a[:, 4] * wa + rows_b[:, 4] * wb
+    msdf_wt_stop = (rows_a[:, 4] * jax.lax.stop_gradient(wa)
+                    + rows_b[:, 4] * jax.lax.stop_gradient(wb))
 
     # edge id -> vertex slot (only crossing edges are ever dereferenced)
     edge2slot = jnp.zeros((E + 1,), jnp.int32).at[vert_slots].set(
@@ -279,9 +287,13 @@ def gshell_extract(
     cyc_sel = jnp.clip(jnp.asarray(MESH_EDGE_TABLE)[tcase], 0, 5)  # [MT, 4]
     cyc = jnp.take_along_axis(idx_map, cyc_sel, axis=1)            # [MT, 4]
 
-    m_c = msdf_wt_grad[cyc]                                        # [MT, 4]
-    m_c_stop = msdf_wt_stop[cyc]
-    v_c = verts_wt[cyc]                                            # [MT, 4, 3]
+    # fused [verts | m_grad | m_stop] row gather over the polygon cycle
+    vm = jnp.concatenate(
+        [verts_wt, msdf_wt_grad[:, None], msdf_wt_stop[:, None]], axis=-1)
+    vm_c = gather_rows(vm, cyc, use_pl)                            # [MT, 4, 5]
+    m_c = vm_c[..., 3]                                             # [MT, 4]
+    m_c_stop = vm_c[..., 4]
+    v_c = vm_c[..., :3]                                            # [MT, 4, 3]
 
     # boundary vertex on each cycle edge (e, e+1 mod 4)
     nxt = jnp.asarray([1, 2, 3, 0], jnp.int32)

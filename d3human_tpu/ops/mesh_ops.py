@@ -35,12 +35,16 @@ def auto_normals(verts: jnp.ndarray, faces: jnp.ndarray,
     """Area-weighted vertex normals via scatter-add
     (ref gshell_tets.py:9-34 / mesh.auto_normals). Degenerate normals fall
     back to +z like the reference."""
+    from d3human_tpu.ops.scatter import default_use_pallas, segment_add_rows
+
     fn = face_normals(verts, faces, normalize=False)
     if face_valid is not None:
         fn = jnp.where(face_valid[:, None], fn, 0.0)
-    v_nrm = jnp.zeros_like(verts)
-    for k in range(3):
-        v_nrm = v_nrm.at[faces[:, k]].add(fn)
+    # ONE fused sorted-COO scatter for all 3 corners (3 XLA scatters of F
+    # rows each were a dominant forward cost at f3c scale)
+    v_nrm = segment_add_rows(
+        jnp.tile(fn, (3, 1)), faces.T.reshape(-1), verts.shape[0],
+        default_use_pallas())
     bad = jnp.sum(v_nrm * v_nrm, axis=-1, keepdims=True) <= 1e-20
     v_nrm = jnp.where(bad, jnp.asarray([0.0, 0.0, 1.0]), v_nrm)
     return safe_normalize(v_nrm)
@@ -60,17 +64,24 @@ def laplacian_uniform_loss(verts: jnp.ndarray, faces: jnp.ndarray,
     face-edge multiplicity 2 on interior edges which cancels in the
     normalized umbrella (neighbor sums and degrees scale together).
     """
+    from d3human_tpu.ops.scatter import default_use_pallas, segment_add_rows
+
     V = verts.shape[0]
     fv = (jnp.ones(faces.shape[0], bool) if face_valid is None else face_valid)
     w = fv.astype(verts.dtype)
-    nbr_sum = jnp.zeros_like(verts)
-    deg = jnp.zeros((V,), verts.dtype)
+    # fused [nbr(3) | deg(1)] rows, all 6 edge directions in ONE scatter
+    idx_parts, val_parts = [], []
     for a, b in ((0, 1), (1, 2), (2, 0)):
         ia, ib = faces[:, a], faces[:, b]
-        nbr_sum = nbr_sum.at[ia].add(verts[ib] * w[:, None])
-        nbr_sum = nbr_sum.at[ib].add(verts[ia] * w[:, None])
-        deg = deg.at[ia].add(w)
-        deg = deg.at[ib].add(w)
+        idx_parts += [ia, ib]
+        val_parts += [jnp.concatenate([verts[ib] * w[:, None], w[:, None]],
+                                      axis=-1),
+                      jnp.concatenate([verts[ia] * w[:, None], w[:, None]],
+                                      axis=-1)]
+    acc = segment_add_rows(jnp.concatenate(val_parts),
+                           jnp.concatenate(idx_parts), V,
+                           default_use_pallas())
+    nbr_sum, deg = acc[:, :3], acc[:, 3]
     lap = nbr_sum / jnp.maximum(deg, 1.0)[:, None] - verts
     ok = deg > 0
     if vert_valid is not None:
@@ -104,14 +115,15 @@ def edge_normal_consistency_loss(verts: jnp.ndarray, faces: jnp.ndarray,
     be precomputed: penalizes the variance of face normals accumulated at
     shared vertices — a smoothness proxy with the same minimizer (all
     neighboring normals equal)."""
+    from d3human_tpu.ops.scatter import default_use_pallas, segment_add_rows
+
     fn = face_normals(verts, faces)
     w = face_valid.astype(verts.dtype)
     V = verts.shape[0]
-    mean_n = jnp.zeros((V, 3), verts.dtype)
-    cnt = jnp.zeros((V,), verts.dtype)
-    for k in range(3):
-        mean_n = mean_n.at[faces[:, k]].add(fn * w[:, None])
-        cnt = cnt.at[faces[:, k]].add(w)
+    fw = jnp.concatenate([fn * w[:, None], w[:, None]], axis=-1)
+    acc = segment_add_rows(jnp.tile(fw, (3, 1)), faces.T.reshape(-1), V,
+                           default_use_pallas())
+    mean_n, cnt = acc[:, :3], acc[:, 3]
     mean_n = safe_normalize(mean_n / jnp.maximum(cnt, 1.0)[:, None])
     # deviation of each face normal from its vertices' mean normal
     dev = 0.0

@@ -456,12 +456,14 @@ def barycentrics_compact(tri_clip: jnp.ndarray, pix_xy: jnp.ndarray,
 
 def scatter_image(vals: jnp.ndarray, idx: jnp.ndarray, resolution):
     """[P, C] compacted values -> [H, W, C] image (zeros elsewhere).
-    idx out-of-bounds rows (the nonzero fill) are dropped; idx is sorted by
-    construction, which XLA's scatter exploits."""
+    idx is sorted+unique by construction (first_k compaction); out-of-bounds
+    rows (the fill) are dropped. Pallas sorted-COO kernel on TPU."""
+    from d3human_tpu.ops.scatter import (
+        default_use_pallas, scatter_rows_sorted,
+    )
+
     H, W = resolution
-    buf = jnp.zeros((H * W, vals.shape[-1]), vals.dtype)
-    buf = buf.at[idx].set(vals, mode="drop", indices_are_sorted=True,
-                          unique_indices=True)
+    buf = scatter_rows_sorted(vals, idx, H * W, default_use_pallas())
     return buf.reshape(H, W, vals.shape[-1])
 
 

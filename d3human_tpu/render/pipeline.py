@@ -200,10 +200,13 @@ def render_mesh_compact(
     msdf_v = (msdf_attr[:, None] if msdf_attr is not None
               else jnp.zeros((verts.shape[0], 1)))
 
-    # ---- ONE fused vertex gather --------------------------------------
+    # ---- ONE fused vertex gather (backward = Pallas sorted-COO scatter
+    # on TPU — the XLA scatter transpose was the dominant backward cost)
+    from d3human_tpu.ops.scatter import default_use_pallas, gather_rows
+
     vattr = jnp.concatenate(
         [v_clip, verts, verts_original, v_nrm, msdf_v], axis=-1)  # [V, 14]
-    g = vattr[faces[fid]]                                         # [P, 3, 14]
+    g = gather_rows(vattr, faces[fid], default_use_pallas())      # [P, 3, 14]
     bary = barycentrics_compact(g[..., :4], pix_xy, resolution)   # [P, 3]
     interp = jnp.einsum("pk,pkc->pc", bary, g[..., 4:])
     pos = interp[:, 0:3] * vmask
@@ -215,7 +218,8 @@ def render_mesh_compact(
     fn = mesh_ops.face_normals(verts, faces)
     flab = (face_labels.astype(jnp.float32)[:, None]
             if face_labels is not None else jnp.zeros((faces.shape[0], 1)))
-    fattr = jnp.concatenate([fn, flab], axis=-1)[fid]             # [P, 4]
+    fattr = gather_rows(jnp.concatenate([fn, flab], axis=-1), fid,
+                        default_use_pallas())                     # [P, 4]
     geo_n = fattr[:, :3] * vmask
     mesh_id_pix = fattr[:, 3:4] * vmask
 
