@@ -159,7 +159,9 @@ def rasterize(
     tile: Tuple[int, int] = (8, 128),
     max_faces_per_tile: int = 512,
     bin_expand: int = 8,
-    max_global: int = 512,
+    # oversize faces are rare post-binning (n_big counter in Rast); 128
+    # slots keep the unified per-tile face list at 640 rows instead of 1024
+    max_global: int = 128,
     backend: str = "auto",        # 'auto' | 'xla' | 'pallas'
 ) -> Rast:
     """Tile-binned z-buffer rasterization (hard visibility, no gradients).

@@ -1,0 +1,69 @@
+"""Golden-value lock on the init-tick loss dict (VERDICT r1 weak#8).
+
+A fixed scene + fixed params + fixed key must reproduce these numbers; a
+drift means a loss weight, schedule, mask convention, or capacity-counter
+change — exactly the class of silent parity regressions the reference's
+formulas (train.py:718, hmsdf.py:830-902) pin down. Regenerate the goldens
+deliberately (and say why in the commit) with:
+
+    python -m tests.test_golden_losses
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+GOLDEN = {
+    "cap_aa": 0.21875,
+    "cap_cov": 0.353516,
+    "eik_loss": 0.383075,
+    "img_loss": 0.577541,
+    "msk_loss": 18.743343,
+    "n_big_faces": 0.0,
+    "n_cross": 1173.0,
+    "n_max_tile": 705.0,
+    "n_valid_tets": 1581.0,
+    "normal_loss": 1.411524,
+    "reg_loss": 0.597139,
+    "sdf_reg_loss": 0.214064,
+    "total": 20.752007,
+}
+
+_EXACT = {"n_cross", "n_valid_tets", "n_big_faces", "n_max_tile"}
+
+
+def _compute():
+    from __graft_entry__ import _small_setup
+    from d3human_tpu.train import losses as L
+
+    cfg, scene, model, tex, perceptual, perc_params, params = _small_setup()
+    target = scene.frame_target(0)
+    raster_opts = dict(tile=(8, 16), max_faces_per_tile=128, bin_expand=8,
+                       max_global=128)
+    out = jax.jit(lambda c, p, t: {
+        k: v for k, v in L.tick_init(
+            jax.random.PRNGKey(3), model.bind(c), p["geometry"], p["pose"],
+            tex, p["material"], perceptual, perc_params, t, jnp.int32(7),
+            cfg, raster_opts).items() if jnp.ndim(v) == 0
+    })(model.consts(), params, target)
+    return {k: float(v) for k, v in out.items()}
+
+
+def test_init_tick_matches_golden():
+    out = _compute()
+    assert set(out) == set(GOLDEN), (
+        f"loss-dict keys changed: {sorted(set(out) ^ set(GOLDEN))}")
+    for k, want in GOLDEN.items():
+        got = out[k]
+        if k in _EXACT:
+            assert got == want, (k, got, want)
+        else:
+            assert got == pytest.approx(want, rel=5e-3, abs=1e-5), \
+                (k, got, want)
+
+
+if __name__ == "__main__":
+    print(json.dumps({k: round(v, 6) for k, v in sorted(_compute().items())},
+                     indent=1))
