@@ -123,12 +123,33 @@ class SMPLXModel:
         return verts, joints, A
 
 
+class _StaticArray:
+    """Hashable host-array holder for pytree AUX data. Raw numpy arrays in
+    aux break jit-cache equality checks ('truth value of an array is
+    ambiguous') the first time two distinct model instances meet the same
+    jitted function."""
+
+    __slots__ = ("a", "_h")
+
+    def __init__(self, a):
+        self.a = np.asarray(a)
+        self._h = hash((self.a.shape, self.a.dtype.str, self.a.tobytes()))
+
+    def __eq__(self, other):
+        return (isinstance(other, _StaticArray)
+                and self.a.shape == other.a.shape
+                and np.array_equal(self.a, other.a))
+
+    def __hash__(self):
+        return self._h
+
+
 jax.tree_util.register_pytree_node(
     SMPLXModel,
     lambda m: ((m.v_template, m.shapedirs, m.posedirs, m.J_regressor,
                 m.lbs_weights),
-               (m.faces, m.parents, m.num_betas, m.num_expr)),
-    lambda aux, ch: SMPLXModel(*ch, faces=aux[0], parents=aux[1],
+               (_StaticArray(m.faces), m.parents, m.num_betas, m.num_expr)),
+    lambda aux, ch: SMPLXModel(*ch, faces=aux[0].a, parents=aux[1],
                                num_betas=aux[2], num_expr=aux[3]),
 )
 

@@ -84,6 +84,8 @@ def run_variant(name, perceptual, perc_params, iters, grid_res, res):
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
     target = scene.frame_target(0)
+    # numpy snapshot: the live pose arrays are donated into the step
+    gt_pose = {k: np.asarray(v) for k, v in scene.pose_params.items()}
 
     t0 = time.time()
     for i in range(iters):
@@ -114,10 +116,10 @@ def run_variant(name, perceptual, perc_params, iters, grid_res, res):
 
     # chamfer vs GT posed mesh
     gt_v, _, _ = scene.model.forward(
-        betas=scene.pose_params["shape"],
-        root_pose=scene.pose_params["root_pose"][:1],
-        body_pose=scene.pose_params["body_pose"][:1],
-        transl=scene.pose_params["trans"][:1])
+        betas=jnp.asarray(gt_pose["shape"]),
+        root_pose=jnp.asarray(gt_pose["root_pose"][:1]),
+        body_pose=jnp.asarray(gt_pose["body_pose"][:1]),
+        transl=jnp.asarray(gt_pose["trans"][:1]))
     v = np.asarray(meshes.verts_posed)
     fvalid = np.asarray(meshes.mesh.face_valid)
     f = np.asarray(meshes.mesh.faces)[fvalid]
