@@ -123,13 +123,16 @@ def run_variant(name, perceptual, perc_params, iters, grid_res, res):
     v = np.asarray(meshes.verts_posed)
     fvalid = np.asarray(meshes.mesh.face_valid)
     f = np.asarray(meshes.mesh.faces)[fvalid]
-    ch = M.mesh_chamfer(v, f, np.asarray(gt_v[0]),
-                        np.asarray(scene.model.faces))
+    if len(f) == 0:
+        ch = float("inf")        # geometry collapsed — the A/B verdict
+    else:
+        ch = M.mesh_chamfer(v, f, np.asarray(gt_v[0]),
+                            np.asarray(scene.model.faces))
 
     return {"variant": name, "iters": iters, "grid_res": grid_res,
             "res": res, "mask_iou": round(iou, 4),
             "normal_mse": round(nrm_mse, 5),
-            "chamfer": round(float(ch), 6),
+            "chamfer": (round(float(ch), 6) if ch != float("inf") else "diverged"),
             "train_s": round(train_s, 1)}
 
 
