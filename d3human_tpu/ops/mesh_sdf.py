@@ -62,14 +62,29 @@ def _point_triangle(p: jnp.ndarray, a, b, c):
 
 
 def mesh_sdf(points: jnp.ndarray, verts: jnp.ndarray, faces: jnp.ndarray,
-             k: int = 8, sign_convention: str = "neg_inside") -> jnp.ndarray:
+             k: int = 8, sign_convention: str = "neg_inside",
+             block: int = 131072) -> jnp.ndarray:
     """Signed distance from points [P,3] to mesh; negative inside by default.
 
     Note: the reference negates pysdf's output so the pipeline's convention is
     sdf > 0 INSIDE the body (ref hmsdf.py:237: sdf_gt = -pysdf(...) combined
     with occ = sdf > 0 meaning occupied). Use sign_convention='pos_inside'
     to get that directly.
+
+    Points are processed in ``block``-sized chunks under lax.map — the
+    per-point [k,3,3] candidate-triangle intermediates are ~50x the point
+    count and OOM HBM at full grid scale otherwise.
     """
+    P = points.shape[0]
+    if P > block:
+        nb = -(-P // block)
+        pts = jnp.pad(points, ((0, nb * block - P), (0, 0)))
+        out = jax.lax.map(
+            lambda blk: mesh_sdf(blk, verts, faces, k=k,
+                                 sign_convention=sign_convention,
+                                 block=block),
+            pts.reshape(nb, block, 3))
+        return out.reshape(-1)[:P]
     centroids = verts[faces].mean(axis=1)
     _, idx = knn(points, centroids, k=k)            # [P, k]
     tri = verts[faces[idx]]                          # [P, k, 3, 3]
