@@ -21,6 +21,7 @@ ticks in train/losses.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -229,8 +230,8 @@ class GeometryModel:
         net = params["sdf_net"]
         state = opt.init(net)
 
-        @jax.jit
-        def run(net, state, verts, tgt):
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def run(net, state, verts, tgt, chunk):
             def step(carry, _):
                 net, state = carry
 
@@ -244,11 +245,20 @@ class GeometryModel:
                 return (net, state), loss
 
             (net, state), losses = jax.lax.scan(step, (net, state),
-                                                length=steps)
-            return net, losses[-1]
+                                                length=chunk)
+            return net, state, losses[-1]
 
-        net, final_loss = run(net, state, self.grid.verts,
-                              target_sdf.reshape(-1))
+        # chunks of <=200 scanned steps: one monolithic 3000-step program
+        # over the full 128^3 grid runs ~2 min on-device without yielding
+        # and crashed the TPU worker (watchdog) on the first parity run
+        n_chunks = -(-steps // 200)
+        chunk = steps // n_chunks
+        rem = steps - chunk * n_chunks
+        tgt = target_sdf.reshape(-1)
+        final_loss = jnp.float32(0.0)
+        for i in range(n_chunks):
+            c = chunk + rem if i == n_chunks - 1 else chunk
+            net, state, final_loss = run(net, state, self.grid.verts, tgt, c)
         out = dict(params)
         out["sdf_net"] = net
         return out, float(final_loss)
