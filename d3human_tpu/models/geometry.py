@@ -285,8 +285,8 @@ class GeometryModel:
         state = opt.init(net)
         code = jnp.zeros((1, 1, self.cfg.field.pose_code_dim))
 
-        @jax.jit
-        def run(net, state, verts):
+        @functools.partial(jax.jit, static_argnums=(3,))
+        def run(net, state, verts, chunk):
             def step(carry, _):
                 net, state = carry
 
@@ -300,10 +300,16 @@ class GeometryModel:
                 return (net, state), loss
 
             (net, state), losses = jax.lax.scan(step, (net, state),
-                                                length=steps)
-            return net, losses[-1]
+                                                length=chunk)
+            return net, state, losses[-1]
 
-        net, _ = run(net, state, self.grid.verts)
+        # chunked like pretrain_sdf (TPU-worker watchdog, see above)
+        n_chunks = -(-steps // 200)
+        chunk = steps // n_chunks
+        rem = steps - chunk * n_chunks
+        for i in range(n_chunks):
+            c = chunk + rem if i == n_chunks - 1 else chunk
+            net, state, _ = run(net, state, self.grid.verts, c)
         out = dict(params)
         out[which] = net
         return out
