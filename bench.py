@@ -214,6 +214,20 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
+    # the headline number must exercise the TPU kernel path: raster backend
+    # 'auto' resolves to pallas on TPU and the sorted-COO scatter activates
+    # via default_use_pallas() (VERDICT r1 weak#7 observability)
+    plat = jax.devices()[0].platform
+    if plat == "tpu":
+        from d3human_tpu.config import Config
+        from d3human_tpu.ops.scatter import default_use_pallas
+
+        assert Config().raster.backend in ("auto", "pallas"), \
+            "bench must run the pallas raster backend on TPU"
+        assert default_use_pallas(), "pallas scatter must be active on TPU"
+        print(f"# platform={plat} raster=pallas scatter=pallas",
+              file=sys.stderr)
+
     if scale.startswith("seq"):
         # BENCH_SCALE=seq[:full|medium|small] — seq-stage iters/sec
         sub = scale.split(":")[1] if ":" in scale else "full"
