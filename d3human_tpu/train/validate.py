@@ -59,11 +59,17 @@ def validation_strip(buffers: MeshBuffers, target: Dict) -> np.ndarray:
 def validate_stage(key, model: GeometryModel, params: Dict, tex_module,
                    target: Dict, cfg: Config, msdf_sign: float = 1.0,
                    raster_opts=None, return_buffers: bool = False):
+    # consts MUST enter the jit as arguments — closing over the model bakes
+    # the tet-grid arrays into the HLO as constants, and the axon remote
+    # compile grinds/413s on the upload (hung the first full-scale parity
+    # run for 45 minutes at the first validation)
+    consts = model.consts()
     _, buffers = jax.jit(
-        lambda g, p, m, k: render_stage_mesh(
-            k, model, g, p, tex_module, m, target, cfg,
+        lambda c, g, p, m, t, k: render_stage_mesh(
+            k, model.bind(c), g, p, tex_module, m, t, cfg,
             msdf_sign=msdf_sign, raster_opts=raster_opts, compact=False)
-    )(params["geometry"], params["pose"], params["material"], key)
+    )(consts, params["geometry"], params["pose"], params["material"],
+      target, key)
     strip = validation_strip(buffers, target)
     if return_buffers:
         return strip, buffers
