@@ -219,10 +219,19 @@ def rasterize(
     pair_tile = jnp.where(pair_ok, pair_tile, NT)                 # sentinel
     pair_face = jnp.broadcast_to(jnp.arange(F, dtype=jnp.int32)[:, None],
                                  (F, K))
-    packed = (pair_tile.reshape(-1) << 20) | pair_face.reshape(-1)
-    packed = jnp.sort(packed)
-    s_tile = packed >> 20
-    s_face = packed & ((1 << 20) - 1)
+    # keys ordered (tile | nearest-z): within a tile the face list is
+    # NEAR-TO-FAR, so when a dense tile overflows max_faces_per_tile the
+    # truncation drops the FARTHEST faces — the ones most likely occluded.
+    # (A plain (tile|face) key dropped arbitrary faces; full-scale captures
+    # hit n_max_tile ~1300 vs 512 slots.) Face ids ride along through the
+    # argsort permutation — int64 packing is unavailable without x64.
+    zq = jnp.clip((jnp.min(zw, axis=1) + 1.0) * (0.5 * ((1 << 20) - 1)),
+                  0.0, float((1 << 20) - 1)).astype(jnp.int32)
+    key = ((pair_tile << 20)
+           | jnp.broadcast_to(zq[:, None], (F, K))).reshape(-1)
+    order = jnp.argsort(key, stable=True)   # deterministic tie order
+    s_tile = jnp.take(key, order) >> 20
+    s_face = jnp.take(pair_face.reshape(-1), order)
 
     starts = jnp.searchsorted(s_tile, jnp.arange(NT + 1, dtype=jnp.int32))
     MFPT = max_faces_per_tile
