@@ -157,7 +157,10 @@ def rasterize(
     face_valid: jnp.ndarray,      # [F] bool
     resolution: Tuple[int, int],  # (H, W)
     tile: Tuple[int, int] = (8, 128),
-    max_faces_per_tile: int = 512,
+    # full-scale captures reach ~1300 candidate faces in the densest tile;
+    # with z-aware truncation the overflow tail is occluded geometry, and
+    # 896 slots (+128 global) stay within the kernel's 1024-slot key field
+    max_faces_per_tile: int = 896,
     bin_expand: int = 8,
     # oversize faces are rare post-binning (n_big counter in Rast); 128
     # slots keep the unified per-tile face list at 640 rows instead of 1024
