@@ -136,7 +136,9 @@ class LossConfig:
 class OptimConfig:
     learning_rate: Tuple[float, float] = (0.03, 0.005)  # (pos, mat); f3c.json
     warmup_iter: int = 300
-    clip_max_norm: float = 0.0
+    # per-geometry-group global-norm gradient clip (stabilization deviation
+    # — full-scale silhouette gradients can empty the SDF; see train/optim.py)
+    clip_max_norm: float = 1.0
     light_grad_scale: float = 64.0   # ref train.py:744-745
     hashgrid_grad_scale: float = 0.125  # ref train.py:747-750 (grad /= 8)
     nonrigid_begin: int = 20000      # ref train.py:1632

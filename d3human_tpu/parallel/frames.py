@@ -64,7 +64,8 @@ def make_parallel_seq_runner(
     lr_pos, lr_mat, lr_lgt = resolve_lrs(cfg.optim.learning_rate)
     tx = make_optimizer("seq", lr_pos, lr_mat, lr_lgt, cfg.optim.warmup_iter,
                         cfg.optim.hashgrid_grad_scale,
-                        cfg.optim.light_grad_scale)
+                        cfg.optim.light_grad_scale,
+                        geo_clip_norm=cfg.optim.clip_max_norm)
 
     def optimize_one_frame(consts, params, target, key):
         """Full n_iters optimization of ONE frame as a lax.scan."""

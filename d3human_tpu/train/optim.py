@@ -104,7 +104,8 @@ def _geometry_label(stage: str, path_str: str) -> str:
 
 def make_optimizer(stage: str, lr_pos: float, lr_mat: float, lr_lgt: float,
                    warmup_iter: int, hashgrid_grad_scale: float = 0.125,
-                   light_grad_scale: float = 64.0):
+                   light_grad_scale: float = 64.0,
+                   geo_clip_norm: float = 1.0):
     """One optax optimizer over the full params tree
     {geometry, pose, material, light}. Top-level key + geometry path decide
     the group."""
@@ -128,6 +129,20 @@ def make_optimizer(stage: str, lr_pos: float, lr_mat: float, lr_lgt: float,
     def adam(lr_base, mult=1.0):
         return optax.adam(lr_schedule(lr_base * mult, warmup_iter), eps=1e-8)
 
+    def geo_adam(lr_base, mult):
+        # DOCUMENTED STABILIZATION DEVIATION: per-group global-norm gradient
+        # clipping on the geometry groups. At full f3c scale the silhouette
+        # AA gradients through the SDF MLP thrash n_cross (the live surface)
+        # and can empty the field entirely — a dead equilibrium with no
+        # recovery gradient (observed at iter ~350 of the first full-scale
+        # init runs; the reference's torch run presumably sits in a gentler
+        # basin). Clipping bounds the per-step field distortion without
+        # changing any converged solution.
+        if geo_clip_norm and geo_clip_norm > 0:
+            return optax.chain(optax.clip_by_global_norm(geo_clip_norm),
+                               adam(lr_base, mult))
+        return adam(lr_base, mult)
+
     tx = optax.multi_transform(
         {
             "pose": adam(lr_pos, 1e-3),      # ref :601-609 SMPL-X params
@@ -140,9 +155,9 @@ def make_optimizer(stage: str, lr_pos: float, lr_mat: float, lr_lgt: float,
                 scale_selected_grads(lambda p: True, light_grad_scale),
                 adam(lr_lgt),                 # ref :744-745 + :588
             ),
-            "geo_x1": adam(lr_pos, 1.0),
-            "geo_x1e-2": adam(lr_pos, 1e-2),
-            "geo_x1e-3": adam(lr_pos, 1e-3),
+            "geo_x1": geo_adam(lr_pos, 1.0),
+            "geo_x1e-2": geo_adam(lr_pos, 1e-2),
+            "geo_x1e-3": geo_adam(lr_pos, 1e-3),
             "geo_frozen": optax.set_to_zero(),
         },
         label_tree,

@@ -34,7 +34,8 @@ def init_state(stage: str, params: dict, cfg: Config):
     tx = make_optimizer(stage, lr_pos, lr_mat, lr_lgt,
                         cfg.optim.warmup_iter,
                         cfg.optim.hashgrid_grad_scale,
-                        cfg.optim.light_grad_scale)
+                        cfg.optim.light_grad_scale,
+                        geo_clip_norm=cfg.optim.clip_max_norm)
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.zeros((), jnp.int32)), tx
 
@@ -89,7 +90,8 @@ def make_train_step(stage: str, model: GeometryModel, tex_module,
     tx = make_optimizer(stage, lr_pos, lr_mat, lr_lgt,
                         cfg.optim.warmup_iter,
                         cfg.optim.hashgrid_grad_scale,
-                        cfg.optim.light_grad_scale)
+                        cfg.optim.light_grad_scale,
+                        geo_clip_norm=cfg.optim.clip_max_norm)
     loss_fn = make_stage_loss_fn(stage, tex_module, perceptual, perc_params,
                                  cfg, raster_opts)
 
