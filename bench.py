@@ -222,7 +222,7 @@ def main():
         from d3human_tpu.config import Config
         from d3human_tpu.ops.scatter import default_use_pallas
 
-        assert Config().raster.backend in ("auto", "pallas"), \
+        assert Config().render.backend in ("auto", "pallas"), \
             "bench must run the pallas raster backend on TPU"
         assert default_use_pallas(), "pallas scatter must be active on TPU"
         print(f"# platform={plat} raster=pallas scatter=pallas",

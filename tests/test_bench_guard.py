@@ -1,0 +1,68 @@
+"""Guard: the expressions bench.py evaluates inside its TPU-only branch must
+be constructible on CPU, so a config refactor can never silently break the
+bench again (round-2 failure: bench.py read Config().raster.backend, which
+does not exist; the AttributeError only fired on TPU — BENCH_r02 rc=1).
+"""
+
+import ast
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_tpu_guard_expressions_valid_on_cpu():
+    # the exact expressions from bench.py's `if plat == "tpu":` branch
+    from d3human_tpu.config import Config
+    from d3human_tpu.ops.scatter import default_use_pallas
+
+    assert Config().render.backend in ("auto", "xla", "pallas")
+    # default_use_pallas() is platform-dependent; just assert it's callable
+    # and returns a bool (False on CPU, True on TPU).
+    assert isinstance(default_use_pallas(), bool)
+
+
+def test_bench_config_attribute_paths_exist():
+    """Statically scan bench.py for `Config().<a>.<b>` attribute chains and
+    verify each path exists on a default Config instance."""
+    from d3human_tpu.config import Config
+
+    src = open(os.path.join(REPO, "bench.py")).read()
+    tree = ast.parse(src)
+    cfg = Config()
+    checked = 0
+    for node in ast.walk(tree):
+        # match Attribute(...Attribute(Call(Name('Config')))) chains
+        if not isinstance(node, ast.Attribute):
+            continue
+        chain = []
+        cur = node
+        while isinstance(cur, ast.Attribute):
+            chain.append(cur.attr)
+            cur = cur.value
+        if (isinstance(cur, ast.Call) and isinstance(cur.func, ast.Name)
+                and cur.func.id == "Config"):
+            obj = cfg
+            for attr in reversed(chain):
+                assert hasattr(obj, attr), \
+                    f"bench.py references Config().{'.'.join(reversed(chain))}" \
+                    f" but Config has no attribute path at '{attr}'"
+                obj = getattr(obj, attr)
+            checked += 1
+    assert checked >= 1, "expected at least one Config() attribute chain"
+
+
+def test_bench_imports_and_builders_importable():
+    """Every `from d3human_tpu...` import statement in bench.py must resolve."""
+    src = open(os.path.join(REPO, "bench.py")).read()
+    tree = ast.parse(src)
+    import importlib
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and \
+                node.module.startswith("d3human_tpu"):
+            mod = importlib.import_module(node.module)
+            for alias in node.names:
+                if hasattr(mod, alias.name):
+                    continue
+                # `from pkg import submodule` resolves via the import system
+                importlib.import_module(f"{node.module}.{alias.name}")
