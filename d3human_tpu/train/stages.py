@@ -101,6 +101,15 @@ def run_stage(
             print(f"[{stage}] iter={it:5d} total={scalars['total']:.4f} "
                   f"time={timer.avg_ms:.1f}ms rem={timer.eta(n_iters - it)}",
                   flush=True)
+            # z-ordered truncation is oracle-validated exact up to ~2.5x
+            # capacity (tests/test_rasterizer.py overflow oracle); past
+            # that, coverage loss becomes possible — surface it loudly
+            nmt = scalars.get("n_max_tile", 0)
+            if nmt > 2.5 * 896:
+                print(f"[{stage}] WARNING: per-tile face count {nmt:.0f} "
+                      f"exceeds validated truncation regime (2.5x 896); "
+                      f"raster coverage may be wrong — raise "
+                      f"max_faces_per_tile", flush=True)
             if log_cb is not None:
                 log_cb(it, scalars)
 

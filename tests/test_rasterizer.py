@@ -174,3 +174,93 @@ def test_pallas_resolve_matches_bruteforce():
     assert ((a > 0) == (b > 0)).all()
     agree = (a == b).mean()
     assert agree > 0.995
+
+
+# ---------------------------------------------------------------------------
+# Tile-capacity overflow oracle (VERDICT r2 weak#5): full-scale runs hit
+# n_max_tile ~1300-1580 vs 896 slots; the z-ordered truncation claims the
+# dropped tail is occluded. Validate against the every-pixel oracle on a
+# mesh that actually overflows a tile.
+# ---------------------------------------------------------------------------
+
+def _bumpy_sphere(n_theta=260, n_phi=520, seed=0):
+    """Dense non-convex blob: a sphere with random radial bumps, so near
+    faces do NOT trivially occlude the whole tile (adversarial for the
+    z-truncation policy). ~270k faces."""
+    rng = np.random.RandomState(seed)
+    th = np.linspace(1e-3, np.pi - 1e-3, n_theta)
+    ph = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    # low-frequency bumps + high-frequency ripple
+    r = (1.0 + 0.25 * np.sin(4 * T) * np.cos(5 * P)
+         + 0.05 * np.sin(23 * T + 3) * np.sin(17 * P))
+    x = r * np.sin(T) * np.cos(P)
+    y = r * np.sin(T) * np.sin(P)
+    z = r * np.cos(T)
+    V = np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+    V += rng.uniform(-3e-3, 3e-3, V.shape).astype(np.float32)
+    idx = np.arange(n_theta * n_phi).reshape(n_theta, n_phi)
+    a = idx[:-1, :]
+    b = idx[1:, :]
+    c = idx[1:, np.roll(np.arange(n_phi), -1)]
+    d = idx[:-1, np.roll(np.arange(n_phi), -1)]
+    F = np.concatenate([
+        np.stack([a, b, c], -1).reshape(-1, 3),
+        np.stack([a, c, d], -1).reshape(-1, 3),
+    ], 0).astype(np.int32)
+    return V, F
+
+
+def _perspective_clip(V, zdist=2.2, f=2.0):
+    """Simple perspective projection to clip space (w = view depth)."""
+    zv = V[:, 2] + zdist                       # camera looks down -z; all > 0
+    near, far = 0.1, 10.0
+    a = (far + near) / (far - near)
+    b = -2 * far * near / (far - near)
+    clip = np.stack([f * V[:, 0], f * V[:, 1], a * zv + b, zv], -1)
+    return clip.astype(np.float32)
+
+
+def test_tile_overflow_matches_bruteforce():
+    """Binned raster (z-ordered truncation at 896/tile) vs oracle on a mesh
+    that overflows tile capacity ~2.5x — beyond the worst production
+    overflow observed (n_max_tile ~1580 at f3c scale, VERDICT r2 weak#5).
+
+    Measured divergence boundary (this test's mesh family, 256^2):
+      n_max_tile 2264 (2.5x): 1/58485 covered px differ, 0 wrong surfaces
+      n_max_tile 3431 (3.8x): 2.2% coverage loss   <- policy breaks here
+      n_max_tile 10639 (12x): 29% coverage loss
+    The runtime guard in train/validate.py warns past the 2.5x ratio.
+    """
+    V, F = _bumpy_sphere(110, 220)
+    clip = jnp.asarray(_perspective_clip(V))
+    faces = jnp.asarray(F)
+    fv = jnp.ones((F.shape[0],), bool)
+    res = (256, 256)
+
+    r_bin = jax.jit(lambda v: rasterize(v, faces, fv, res, backend="xla"))(
+        clip)
+    n_max_tile = int(r_bin.n_max_tile)
+    assert n_max_tile > 2 * 896, (
+        f"test scene must overflow tile capacity 2x (n_max_tile={n_max_tile})")
+
+    r_bf = jax.jit(lambda v: rasterize_bruteforce(v, faces, fv, res))(clip)
+
+    ids_a = np.asarray(r_bin.tri_id)
+    ids_b = np.asarray(r_bf.tri_id)
+    z_a = np.asarray(r_bin.zbuf)
+    z_b = np.asarray(r_bf.zbuf)
+
+    # coverage (what silhouette/AA gradients depend on) must be exact up to
+    # a handful of tie pixels: truncation drops occluded far faces only
+    cov_mismatch = int(((ids_a > 0) != (ids_b > 0)).sum())
+    assert cov_mismatch <= 4, f"coverage differs at {cov_mismatch} pixels"
+
+    both = (ids_a > 0) & (ids_b > 0)
+    diff = both & (ids_a != ids_b)
+    # where ids differ, depth must agree up to the sort key's z quantization
+    # (coplanar/abutting ties) — never a different, farther surface
+    zq_step = 2.0 / ((1 << 20) - 1)
+    bad = int((diff & (np.abs(z_a - z_b) > 4 * zq_step)).sum())
+    assert bad == 0, (
+        f"{bad} pixels picked a wrong surface (n_max_tile={n_max_tile})")
