@@ -63,16 +63,31 @@ def run_stage(
     def maybe_validate(it):
         if tex_module is None or model is None:
             return
-        from d3human_tpu.train.validate import validate_stage
+        from d3human_tpu.train.validate import (
+            validate_split_stage, validate_stage,
+        )
         from d3human_tpu.utils.metrics import iou, psnr
 
         target = next_target(it)
+        vdir = os.path.join(save_path, "validate")
+        os.makedirs(vdir, exist_ok=True)
+        if stage.startswith("split"):
+            # split stages train two halves; a single-half render vs the
+            # full-person mask caps IoU at the area ratio (r2 parity bug)
+            strip, metrics = validate_split_stage(
+                jax.random.fold_in(key, 0x7FFFFFFF), model, state.params,
+                tex_module, target, cfg, raster_opts=raster_opts)
+            mesh_io.save_image(os.path.join(vdir, f"img_pass1_{it:06d}.png"),
+                               strip)
+            logger.log(it, {f"val_{k}": v for k, v in metrics.items()})
+            print(f"[{stage}] validate iter={it}: "
+                  + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()),
+                  flush=True)
+            return metrics
         strip, buffers = validate_stage(
             jax.random.fold_in(key, 0x7FFFFFFF), model, state.params,
             tex_module, target, cfg, raster_opts=raster_opts,
             return_buffers=True)
-        vdir = os.path.join(save_path, "validate")
-        os.makedirs(vdir, exist_ok=True)
         mesh_io.save_image(os.path.join(vdir, f"img_pass1_{it:06d}.png"),
                            strip)
         gt = target["all_img"]

@@ -82,3 +82,64 @@ def depth_display(buffers: MeshBuffers) -> np.ndarray:
     lo, hi = jnp.min(d), jnp.max(d)
     nd = (d - lo) / jnp.maximum(hi - lo, 1e-8)
     return np.asarray(jnp.nan_to_num(_gray3(nd)))
+
+
+def validate_split_stage(key, model: GeometryModel, params: Dict, tex_module,
+                         target: Dict, cfg: Config, raster_opts=None):
+    """Split-stage validation: render BOTH halves (cloth: msdf_sign=+1,
+    body: -1, matching tick_split_one) and composite by depth, so PSNR /
+    mask-IoU are measured against the full-person GT the way the reference
+    inspects split results (ref validate_itr_all, train.py:441-537 renders
+    each mesh and the union).  Validating a single half against the full
+    mask caps IoU at the half/person area ratio — the r2 parity number
+    (0.79) was this measurement artifact, not model quality.
+
+    Returns (strip, metrics) where metrics carries the union psnr/mask_iou
+    plus per-half IoUs vs the half GT masks."""
+    from d3human_tpu.utils.metrics import iou, psnr
+
+    consts = model.consts()
+
+    def _render(c, g, p, m, t, k, sign):
+        _, buf = render_stage_mesh(
+            k, model.bind(c), g, p, tex_module, m, t, cfg,
+            msdf_sign=sign, raster_opts=raster_opts, compact=False)
+        return buf
+
+    render_j = jax.jit(_render, static_argnames=("sign",))
+    args = (consts, params["geometry"], params["pose"], params["material"],
+            target, key)
+    buf_cloth = render_j(*args, sign=1.0)
+    buf_body = render_j(*args, sign=-1.0)
+
+    a_c = buf_cloth.shaded[..., 3:]
+    a_b = buf_body.shaded[..., 3:]
+    z_c = jnp.where(a_c[..., 0] > 0.5, buf_cloth.depth[..., 0], jnp.inf)
+    z_b = jnp.where(a_b[..., 0] > 0.5, buf_body.depth[..., 0], jnp.inf)
+    front_c = (z_c <= z_b)[..., None]
+    rgb = jnp.where(front_c, buf_cloth.shaded[..., :3],
+                    buf_body.shaded[..., :3])
+    alpha = jnp.maximum(a_c, a_b)
+    gt = target["all_img"]
+    metrics = {
+        "psnr": float(psnr(rgb * gt[..., 3:], gt[..., :3] * gt[..., 3:])),
+        "mask_iou": float(iou(alpha[..., 0] > 0.5, gt[..., 3] > 0.5)),
+    }
+    if "body_img" in target:
+        metrics["body_iou"] = float(
+            iou(a_b[..., 0] > 0.5, target["body_img"][..., 3] > 0.5))
+    if "cloth_img" in target:
+        metrics["cloth_iou"] = float(
+            iou(a_c[..., 0] > 0.5, target["cloth_img"][..., 3] > 0.5))
+
+    panels = [
+        rgb_to_srgb(jnp.clip(rgb, 0, 1)),
+        rgb_to_srgb(jnp.clip(gt[..., :3], 0, 1)),
+        _gray3(alpha),
+        _gray3(gt[..., 3:]),
+        _gray3(a_b),
+        _gray3(a_c),
+        combine_mask(gt[..., 3:], alpha),
+    ]
+    strip = np.asarray(jnp.concatenate(panels, axis=1))
+    return strip, metrics
