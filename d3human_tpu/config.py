@@ -137,8 +137,10 @@ class OptimConfig:
     learning_rate: Tuple[float, float] = (0.03, 0.005)  # (pos, mat); f3c.json
     warmup_iter: int = 300
     # per-geometry-group global-norm gradient clip (stabilization deviation
-    # — full-scale silhouette gradients can empty the SDF; see train/optim.py)
-    clip_max_norm: float = 1.0
+    # — full-scale silhouette gradients can empty the SDF; see train/optim.py).
+    # 0 = off (reference-parity dynamics); full-scale configs enable it
+    # explicitly (configs/f3c*.json) where the collapse was observed.
+    clip_max_norm: float = 0.0
     light_grad_scale: float = 64.0   # ref train.py:744-745
     hashgrid_grad_scale: float = 0.125  # ref train.py:747-750 (grad /= 8)
     nonrigid_begin: int = 20000      # ref train.py:1632

@@ -91,6 +91,12 @@ class MobileNetFeatures:
         if npz_path and os.path.exists(npz_path):
             z = np.load(npz_path)
             return {k: jnp.asarray(z[k]) for k in z.files}
+        if npz_path:
+            # a named-but-missing npz is almost always a typo'd path; random
+            # features converge measurably differently (PERCEPTUAL_AB.json)
+            print(f"[mobilenet] WARNING: weights npz '{npz_path}' not found "
+                  f"— falling back to deterministic He-init (random) "
+                  f"features", flush=True)
         # deterministic He-init fallback (documented stand-in; see module
         # docstring + scripts/ab_perceptual.py)
         key = jax.random.PRNGKey(self.seed)
