@@ -84,6 +84,9 @@ class RenderConfig:
     train_res: Tuple[int, int] = (1080, 1080)   # f3c.json
     texture_res: Tuple[int, int] = (1080, 1080)
     spp: int = 1
+    # single-layer rendering only, matching the reference exactly: its
+    # DepthPeeler loop asserts num_layers == 1 (ref render/render.py:402).
+    # Validated (not silently ignored) in load-time __post_init__ below.
     layers: int = 1
     probe_res: int = 256
     env_scale: float = 2.0
@@ -104,6 +107,14 @@ class RenderConfig:
     # texture lookups run only on covered pixels, compacted to this static
     # fraction of the frame (hash-grid gathers dominate the render cost)
     max_covered_frac: float = 0.5
+
+    def __post_init__(self):
+        if self.layers != 1:
+            raise ValueError(
+                f"layers={self.layers} is unsupported: the pipeline renders "
+                f"a single depth layer, exactly like the reference (its "
+                f"DepthPeeler loop asserts num_layers == 1, "
+                f"render/render.py:402)")
 
 
 @dataclass(frozen=True)

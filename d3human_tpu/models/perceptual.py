@@ -71,6 +71,56 @@ class ConvPerceptual:
         return sum(losses) / len(losses)
 
 
+class PyramidPerceptual:
+    """Deterministic Laplacian-pyramid perceptual loss (no weights needed).
+
+    Candidate replacement for the reference's pretrained-MobileNetV2 normal
+    perceptual term (/root/reference/geometry/hmsdf.py:137-159) under the
+    zero-egress constraint: compares Gaussian-pyramid band-pass responses
+    (Laplacian bands) plus finite-difference gradients at each scale with an
+    L1. Multi-scale band-pass structure is the classical weight-free
+    perceptual surrogate; unlike random conv projections it has no
+    filter-lottery variance (PERCEPTUAL_AB.json showed random conv features
+    hurting chamfer). API-compatible with ConvPerceptual (init/loss)."""
+
+    def __init__(self, n_levels: int = 3):
+        self.n_levels = n_levels
+        # 5-tap binomial kernel, separable
+        k = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
+        self._k2 = jnp.asarray(np.outer(k, k))[..., None, None]
+
+    def init(self) -> Params:
+        return {}
+
+    def _blur_down(self, x):
+        C = x.shape[-1]
+        w = jnp.tile(self._k2, (1, 1, 1, C))
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 2), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C)
+
+    def _bands(self, x):
+        bands = []
+        cur = x
+        for _ in range(self.n_levels):
+            down = self._blur_down(cur)
+            up = jax.image.resize(down, cur.shape, "linear")
+            bands.append(cur - up)                      # band-pass detail
+            gx = cur[:, :, 1:] - cur[:, :, :-1]         # structure gradients
+            gy = cur[:, 1:] - cur[:, :-1]
+            bands.extend([gx, gy])
+            cur = down
+        bands.append(cur)                               # low-pass residual
+        return bands
+
+    def loss(self, params: Params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        bx = self._bands(x)
+        by = self._bands(y)
+        losses = [jnp.mean(jnp.abs(a - b)) for a, b in zip(bx, by)]
+        return sum(losses) / len(losses)
+
+
 class LPIPSLike:
     """LPIPS-style perceptual distance: unit-normalized channel activations
     compared by squared difference with learned-slot linear weights,

@@ -142,14 +142,19 @@ def main():
     res = int(sys.argv[3]) if len(sys.argv) > 3 else 384
 
     from d3human_tpu.models.mobilenet import MobileNetFeatures
-    from d3human_tpu.models.perceptual import ConvPerceptual
+    from d3human_tpu.models.perceptual import ConvPerceptual, PyramidPerceptual
 
+    only = os.environ.get("AB_VARIANTS", "").split(",") if \
+        os.environ.get("AB_VARIANTS") else None
     variants = [
         ("none", NullPerceptual(), {}),
         ("conv_random", ConvPerceptual(), ConvPerceptual().init()),
+        ("pyramid", PyramidPerceptual(), PyramidPerceptual().init()),
         ("mobilenet_random", MobileNetFeatures(),
          MobileNetFeatures().init()),
     ]
+    if only:
+        variants = [v for v in variants if v[0] in only]
     npz = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))),
         "d3human_tpu/data/mobilenet_v2_features.npz")
@@ -162,8 +167,8 @@ def main():
         results.append(run_variant(name, perc, pp, iters, grid_res, res))
         print(json.dumps(results[-1]), flush=True)
 
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "PERCEPTUAL_AB.json")
+    out = os.environ.get("AB_OUT") or os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "PERCEPTUAL_AB.json")
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
     print(f"wrote {out}")

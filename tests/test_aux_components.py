@@ -5,7 +5,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from d3human_tpu.models.perceptual import ConvPerceptual, LPIPSLike
+from d3human_tpu.models.perceptual import (
+    ConvPerceptual, LPIPSLike, PyramidPerceptual,
+)
 from d3human_tpu.ops.denoiser import BilateralDenoiser, bilateral_denoise
 from d3human_tpu.render.material import get_parameters, load_mtl, save_mtl
 from d3human_tpu.render.texture2d import Texture2D, build_mips
@@ -65,6 +67,24 @@ def test_lpips_like():
     d1 = float(jax.jit(lp.distance)(params, x, 1.0 - x))
     assert d0 < 1e-8
     assert d1 > d0
+
+
+def test_pyramid_perceptual():
+    p = PyramidPerceptual(n_levels=2)
+    params = p.init()
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (1, 32, 32, 3))
+    assert float(jax.jit(p.loss)(params, x, x)) < 1e-8
+    # sensitive to structure, not just mean: a constant offset scores lower
+    # than a same-energy high-frequency perturbation
+    flat = jnp.clip(x + 0.1, 0, 1)
+    noise = jnp.clip(x + 0.1 * jnp.sign(
+        jax.random.normal(key, x.shape)), 0, 1)
+    l_flat = float(jax.jit(p.loss)(params, x, flat))
+    l_noise = float(jax.jit(p.loss)(params, x, noise))
+    assert l_noise > l_flat
+    g = jax.grad(lambda a: p.loss(params, a, flat))(x)
+    assert bool(jnp.all(jnp.isfinite(g)))
 
 
 def test_material_io(tmp_path):

@@ -175,6 +175,11 @@ def main():
 
         perceptual = MobileNetFeatures()
         perc_params = perceptual.init(cfg.loss.perceptual_npz)
+    elif cfg.loss.perceptual_backbone == "pyramid":
+        from d3human_tpu.models.perceptual import PyramidPerceptual
+
+        perceptual = PyramidPerceptual()
+        perc_params = perceptual.init()
     else:
         perceptual = ConvPerceptual()
         perc_params = perceptual.init()
