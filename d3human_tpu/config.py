@@ -107,6 +107,9 @@ class RenderConfig:
     # texture lookups run only on covered pixels, compacted to this static
     # fraction of the frame (hash-grid gathers dominate the render cost)
     max_covered_frac: float = 0.5
+    # material/normal smoothness jitter taps run on every Nth covered pixel
+    # (regularizer-only inputs; expectation-rescaled in render/regularizer.py)
+    jitter_subsample: int = 2
 
     def __post_init__(self):
         if self.layers != 1:

@@ -108,13 +108,20 @@ def make_parallel_seq_runner(
                         in_axes=(None, 0, 0, 0))(
             consts, per_frame_params, stacked_targets, keys)
 
-    def launch(shared_params, stacked_targets, key):
+    def prepare(shared_params, stacked_targets, key):
         per_frame = replicate_for_frames(shared_params, n_frames)
         per_frame = put_sharded(per_frame, frames_sharding)
         stacked_targets = put_sharded(stacked_targets, frames_sharding)
         consts_dev = put_sharded(consts, repl)
-        return run(per_frame, stacked_targets, key, consts_dev)
+        return (per_frame, stacked_targets, key, consts_dev)
 
+    def launch(shared_params, stacked_targets, key):
+        return run(*prepare(shared_params, stacked_targets, key))
+
+    # AOT surface (scripts/multichip_scale.py): lower/compile the sharded
+    # program without executing, for per-device memory_analysis at scale
+    launch.jit_run = run
+    launch.prepare = prepare
     return launch, mesh
 
 

@@ -107,6 +107,7 @@ def render_stage_mesh(key, model: GeometryModel, params, pose_params,
         spp=cfg.render.spp,
         raster_opts=raster_opts,
         max_covered_frac=cfg.render.max_covered_frac,
+        jitter_subsample=cfg.render.jitter_subsample,
         compact=compact,
     )
     return meshes, buffers
@@ -320,6 +321,7 @@ def tick_seq(key, model: GeometryModel, params, pose_params,
         spp=cfg.render.spp,
         raster_opts=raster_opts,
         max_covered_frac=cfg.render.max_covered_frac,
+        jitter_subsample=cfg.render.jitter_subsample,
     )
 
     # mask decomposition (ref hmsdf.py:788-798): cloth = label*alpha

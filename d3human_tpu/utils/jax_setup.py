@@ -33,6 +33,17 @@ def setup(cache_dir: str | None = None) -> None:
                 jax.config.update("jax_num_cpu_devices", int(n))
         except RuntimeError as e:
             print(f"[jax_setup] platform override failed: {e}")
+    # PRNG impl: threefry (the JAX default) costs real time on TPU for the
+    # per-pixel jitter noise (PERF.md key-dependent ~225 ms bucket); rbg
+    # lowers to the hardware RNG. Opt-in via D3H_PRNG=rbg — jitter noise
+    # has no statistical-quality requirement, but golden-loss tests pin
+    # threefry so CPU/TPU stay comparable by default.
+    prng = os.environ.get("D3H_PRNG")
+    if prng:
+        try:
+            jax.config.update("jax_default_prng_impl", prng)
+        except Exception as e:
+            print(f"[jax_setup] prng override failed: {e}")
 
 
 def enable_debug_nans(enable: bool = True) -> None:
