@@ -148,10 +148,15 @@ def main():
                     help="subdivision rounds (4 -> ~135k faces, the "
                          "post-head-subdivision f3c template size)")
     ap.add_argument("--skip-exec", action="store_true")
+    ap.add_argument("--skip-full", action="store_true")
     args = ap.parse_args()
     out = {"n_devices": N_DEV, "frames": args.frames}
 
     # -- part 1: full-scale AOT compile + memory analysis -------------------
+    if args.skip_full:
+        if os.path.exists(os.path.join(REPO, "MULTICHIP_SCALE.json")):
+            out = json.load(open(os.path.join(REPO, "MULTICHIP_SCALE.json")))
+        return _exec_part(args, out)
     launch, params, stacked = build(args.full_res, args.frames, args.subdiv)
     key = jax.random.PRNGKey(1)
     lowered = launch.jit_run.lower(*launch.prepare(params, stacked, key))
@@ -172,21 +177,26 @@ def main():
     out["full_scale"] = {"res": args.full_res, "memory": mem}
     print(f"[scale] full {args.full_res}^2 AOT compile OK; per-device "
           f"memory: {json.dumps(mem)}", flush=True)
+    with open(os.path.join(REPO, "MULTICHIP_SCALE.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
 
     # -- part 2: realistic-capacity execution -------------------------------
     if not args.skip_exec:
-        launch2, params2, stacked2 = build(args.exec_res, args.frames,
-                                           args.subdiv)
-        pf, totals = launch2(params2, stacked2, jax.random.PRNGKey(2))
-        totals = np.asarray(jax.block_until_ready(totals))
-        assert totals.shape == (args.frames, 1)
-        assert np.isfinite(totals).all(), totals
-        out["exec"] = {"res": args.exec_res,
-                       "per_frame_loss": [round(float(x), 4)
-                                          for x in totals[:, -1]]}
-        print(f"[scale] exec {args.exec_res}^2 OK; per-frame losses "
-              f"{out['exec']['per_frame_loss']}", flush=True)
+        _exec_part(args, out)
 
+
+def _exec_part(args, out):
+    launch2, params2, stacked2 = build(args.exec_res, args.frames,
+                                       args.subdiv)
+    pf, totals = launch2(params2, stacked2, jax.random.PRNGKey(2))
+    totals = np.asarray(jax.block_until_ready(totals))
+    assert totals.shape == (args.frames, 1)
+    assert np.isfinite(totals).all(), totals
+    out["exec"] = {"res": args.exec_res,
+                   "per_frame_loss": [round(float(x), 4)
+                                      for x in totals[:, -1]]}
+    print(f"[scale] exec {args.exec_res}^2 OK; per-frame losses "
+          f"{out['exec']['per_frame_loss']}", flush=True)
     with open(os.path.join(REPO, "MULTICHIP_SCALE.json"), "w") as fh:
         json.dump(out, fh, indent=1)
     print("wrote MULTICHIP_SCALE.json")
