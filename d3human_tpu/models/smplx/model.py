@@ -180,6 +180,83 @@ def load_smplx_npz(model_path: str, gender: str = "neutral",
     )
 
 
+def _load_generic_npz(fn: str, num_betas: int, num_expr: int,
+                      expr_offset: int) -> SMPLXModel:
+    """Shared npz reader for every MPI body-model family. ``expr_offset``
+    is where expression columns start in shapedirs (300 for SMPL-X/FLAME
+    padded layouts, 0/absent for SMPL/SMPLH/MANO)."""
+    data = np.load(fn, allow_pickle=True)
+    shapedirs = np.asarray(data["shapedirs"], np.float32)
+    n_cols = shapedirs.shape[-1]
+    if expr_offset and n_cols > expr_offset:
+        n_shape = min(num_betas, expr_offset)
+        sd = np.concatenate(
+            [shapedirs[:, :, :n_shape],
+             shapedirs[:, :, expr_offset:expr_offset + num_expr]], axis=-1)
+        ne = min(num_expr, n_cols - expr_offset)
+    else:
+        n_shape = min(num_betas, n_cols)
+        sd = shapedirs[:, :, :n_shape]
+        ne = 0
+    posedirs = np.asarray(data["posedirs"], np.float32)
+    if posedirs.ndim == 3:
+        posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T
+    parents = tuple(
+        int(p) if i else -1
+        for i, p in enumerate(np.asarray(data["kintree_table"])[0])
+    ) if "kintree_table" in data else SMPLX_PARENTS
+    return SMPLXModel(
+        v_template=jnp.asarray(data["v_template"], jnp.float32),
+        shapedirs=jnp.asarray(sd, jnp.float32),
+        posedirs=jnp.asarray(posedirs, jnp.float32),
+        J_regressor=jnp.asarray(data["J_regressor"], jnp.float32),
+        lbs_weights=jnp.asarray(data["weights"], jnp.float32),
+        faces=np.asarray(data["f"], np.int64),
+        parents=parents,
+        num_betas=n_shape, num_expr=ne,
+    )
+
+
+# family -> (filename pattern, default num_betas, num_expr, expr col offset)
+_BODY_MODEL_FAMILIES = {
+    "smpl": ("SMPL_{G}.npz", 10, 0, 0),
+    "smplh": ("SMPLH_{G}.npz", 16, 0, 0),
+    "smplx": ("SMPLX_{G}.npz", 100, 50, 300),
+    "mano": ("MANO_{G}.npz", 10, 0, 0),       # gender slot = RIGHT / LEFT
+    "flame": ("FLAME_{G}.npz", 300, 100, 300),
+}
+
+
+def create(model_path: str, model_type: str = "smplx",
+           gender: str = "neutral", num_betas: Optional[int] = None,
+           num_expr: Optional[int] = None) -> SMPLXModel:
+    """Body-model factory (ref body_models.py:2380-2442 ``create``): loads
+    SMPL / SMPL+H / SMPL-X / MANO / FLAME npz files into the one generic
+    LBS struct — ``forward`` already slices the assembled pose vector to
+    the family's joint count (model.py:102-105), so every family runs the
+    same MXU skinning path.
+
+    Looks in <model_path>/<model_type>/ first (the reference's folder
+    convention, ref :2427-2430), then <model_path>/ flat. The official
+    .pkl releases require chumpy to unpickle and are not supported — use
+    the npz releases (the reference's own npz path, ref :1013-1022).
+    """
+    mt = model_type.lower()
+    if mt not in _BODY_MODEL_FAMILIES:
+        raise ValueError(f"unknown model_type {model_type!r}; expected one "
+                         f"of {sorted(_BODY_MODEL_FAMILIES)}")
+    pat, d_betas, d_expr, off = _BODY_MODEL_FAMILIES[mt]
+    fname = pat.format(G=gender.upper())
+    for cand in (os.path.join(model_path, mt, fname),
+                 os.path.join(model_path, fname)):
+        if os.path.exists(cand):
+            return _load_generic_npz(
+                cand, num_betas if num_betas is not None else d_betas,
+                num_expr if num_expr is not None else d_expr, off)
+    raise FileNotFoundError(
+        f"no {fname} under {model_path!r} (tried '{mt}/' and flat)")
+
+
 def synthetic_body_model(n_theta: int = 24, n_phi: int = 12,
                          num_betas: int = 10, num_expr: int = 4,
                          seed: int = 0) -> SMPLXModel:
