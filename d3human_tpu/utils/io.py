@@ -15,7 +15,12 @@ import numpy as np
 
 
 def write_obj(path: str, verts: np.ndarray, faces: np.ndarray,
-              normals: Optional[np.ndarray] = None) -> None:
+              normals: Optional[np.ndarray] = None,
+              uv: Optional[np.ndarray] = None,
+              uv_idx: Optional[np.ndarray] = None) -> None:
+    """OBJ writer (ref render/obj.py write semantics). When ``uv``/``uv_idx``
+    are given, faces are written as v/vt pairs (separate position and
+    texture index buffers, the nvdiffrast/xatlas convention)."""
     verts = np.asarray(verts)
     faces = np.asarray(faces)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -25,8 +30,15 @@ def write_obj(path: str, verts: np.ndarray, faces: np.ndarray,
         if normals is not None:
             for n in np.asarray(normals):
                 f.write(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}\n")
-        for t in faces + 1:
-            f.write(f"f {t[0]} {t[1]} {t[2]}\n")
+        if uv is not None:
+            for t in np.asarray(uv):
+                f.write(f"vt {t[0]:.6f} {t[1]:.6f}\n")
+        if uv is not None and uv_idx is not None:
+            for t, tt in zip(faces + 1, np.asarray(uv_idx) + 1):
+                f.write(f"f {t[0]}/{tt[0]} {t[1]}/{tt[1]} {t[2]}/{tt[2]}\n")
+        else:
+            for t in faces + 1:
+                f.write(f"f {t[0]} {t[1]} {t[2]}\n")
 
 
 def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:

@@ -1,6 +1,8 @@
 """Auxiliary component tests: denoiser, Texture2D, metrics, LPIPS-like,
 materials IO, tetrahedralization."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -212,3 +214,37 @@ def test_config_loss_key_is_both_flat_and_section(tmp_path):
     cfg = load_config(str(p2))
     assert cfg.loss.perceptual_backbone == "mobilenet"
     assert cfg.loss.loss == "smape"
+
+
+def test_grid_atlas_and_uv_obj(tmp_path):
+    """Chart-per-face atlas (scripts/bake_texture.py): valid UVs in [0,1],
+    non-overlapping cells, and the v/vt OBJ round-trips positions."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.bake_texture import grid_atlas
+
+    from d3human_tpu.utils.io import load_obj, write_obj
+
+    F = 10
+    v_tex, t_idx = grid_atlas(F)
+    assert v_tex.shape == (3 * F, 2) and t_idx.shape == (F, 3)
+    assert (v_tex >= 0).all() and (v_tex <= 1).all()
+    # cells don't overlap: each triangle's bbox stays inside its own cell
+    side = int(np.ceil(np.sqrt(F)))
+    for i in range(F):
+        tri = v_tex[t_idx[i]]
+        ci, cj = i % side, i // side
+        assert (tri[:, 0] >= ci / side).all() and \
+               (tri[:, 0] <= (ci + 1) / side).all()
+        assert (tri[:, 1] >= cj / side).all() and \
+               (tri[:, 1] <= (cj + 1) / side).all()
+
+    verts = np.random.RandomState(0).randn(5, 3).astype(np.float32)
+    faces = np.asarray([[0, 1, 2], [2, 3, 4]], np.int64)
+    uv, uvi = grid_atlas(2)
+    p = str(tmp_path / "m.obj")
+    write_obj(p, verts, faces, uv=uv, uv_idx=uvi)
+    v2, f2 = load_obj(p)
+    np.testing.assert_allclose(v2, verts, atol=1e-5)
+    assert (np.asarray(f2) == faces).all()
