@@ -119,12 +119,23 @@ def run_stage(
             # z-ordered truncation is oracle-validated exact up to ~2.5x
             # capacity (tests/test_rasterizer.py overflow oracle); past
             # that, coverage loss becomes possible — surface it loudly
-            nmt = scalars.get("n_max_tile", 0)
+            # split stages prefix per-half metrics (body_/cloth_)
+            nmt = max((v for k, v in scalars.items()
+                       if k.endswith("n_max_tile")), default=0)
             if nmt > 2.5 * 896:
                 print(f"[{stage}] WARNING: per-tile face count {nmt:.0f} "
                       f"exceeds validated truncation regime (2.5x 896); "
                       f"raster coverage may be wrong — raise "
                       f"max_faces_per_tile", flush=True)
+            # oversize (multi-tile) faces past max_global are dropped
+            # UNordered (ADVICE r2) — loud when the 128-slot list overflows
+            nbig = max((v for k, v in scalars.items()
+                        if k.endswith("n_big_faces")), default=0)
+            if nbig > 128:
+                print(f"[{stage}] WARNING: {nbig:.0f} oversize faces exceed "
+                      f"the {128}-slot global raster list; near-camera "
+                      f"geometry may be dropped — raise max_global",
+                      flush=True)
             if log_cb is not None:
                 log_cb(it, scalars)
 

@@ -54,9 +54,11 @@ def run_variant(name, perceptual, perc_params, iters, grid_res, res):
     from d3human_tpu.train.step import TrainState, make_train_step
     from d3human_tpu.utils import metrics as M
 
+    # f3c capacities once the grid is full-scale (2^16 overflows at 128^3)
+    mv, mt = (2 ** 18, 196608) if grid_res >= 96 else (2 ** 16, 2 ** 16)
     cfg = Config(
-        geometry=GeometryConfig(grid_res=grid_res, max_verts=2 ** 16,
-                                max_tets=2 ** 16),
+        geometry=GeometryConfig(grid_res=grid_res, max_verts=mv,
+                                max_tets=mt),
         render=RenderConfig(train_res=(res, res), texture_res=(res, res)),
         stages=StageConfig(init_epoch=iters),
     )
