@@ -110,6 +110,12 @@ class RenderConfig:
     # material/normal smoothness jitter taps run on every Nth covered pixel
     # (regularizer-only inputs; expectation-rescaled in render/regularizer.py)
     jitter_subsample: int = 2
+    # the init stage's total has NO image term (ref train.py:718 —
+    # reg+normal+msk only), so texture/hash-grid shading there feeds a
+    # log-only metric. False skips shading in init training steps (img_loss
+    # reported 0; validation still shades). Default True = reference-parity
+    # logs; full-scale perf configs turn it off.
+    init_shading: bool = True
 
     def __post_init__(self):
         if self.layers != 1:

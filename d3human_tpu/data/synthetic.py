@@ -48,6 +48,12 @@ class SyntheticScene:
         alpha, all_normal, camera) in the schema the loss ticks consume.
         Jitted + cached (eager dispatch is pathologically slow on 1-core
         hosts)."""
+        # cycle frames like the reference (dataset_split.py:207
+        # ``key_frame[itr % n_images]``) — callers pass the raw iteration
+        # counter; without the mod, dynamic_slice CLAMPS to the last frame
+        # and every iter past n_frames trains one fixed view (the occluded
+        # volume is then unconstrained — the r3 init n_cross explosion).
+        frame_idx = int(frame_idx) % self.n_frames
         if not hasattr(self, "_jit_target"):
             self._jit_target = jax.jit(self._frame_target_impl)
         out = dict(self._jit_target(jnp.asarray(frame_idx, jnp.int32)))
@@ -113,8 +119,14 @@ def make_scene(resolution=(128, 128), n_frames: int = 4,
     rng = np.random.default_rng(seed)
     body_pose = np.zeros((n_frames, 63), np.float32)
     body_pose[:, :6] = rng.normal(size=(n_frames, 6)) * 0.1
+    # full turntable rotation, like the reference's monocular self-rotation
+    # captures (single cameras.npz, person turns through the sequence):
+    # every side of the person is observed across the frame cycle, so the
+    # mask loss constrains the whole volume — a fixed 0.4 rad arc left ~80%
+    # of the surface unseen and the occluded field free to grow noise.
     root_pose = np.zeros((n_frames, 3), np.float32)
-    root_pose[:, 1] = np.linspace(0, 0.4, n_frames)
+    root_pose[:, 1] = np.linspace(0, 2 * np.pi * (n_frames - 1) / n_frames,
+                                  n_frames)
     trans = np.zeros((n_frames, 3), np.float32)
     trans[:, 0] = np.linspace(-0.03, 0.03, n_frames)
 

@@ -121,6 +121,23 @@ class PyramidPerceptual:
         return sum(losses) / len(losses)
 
 
+class NullPerceptual:
+    """Disabled perceptual term (loss == 0). A/B control arm: the r2 study
+    (PERCEPTUAL_AB.json) measured random-conv features *hurting* chamfer vs
+    no perceptual loss at all, so 'none' must be a first-class backbone —
+    both for the full-scale A/B and as a documented deviation fallback when
+    no pretrained MobileNetV2 npz can ship (zero-egress image)."""
+
+    def init(self) -> Params:
+        return {}
+
+    def features(self, params: Params, img: jnp.ndarray) -> List[jnp.ndarray]:
+        return []
+
+    def loss(self, params: Params, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        return jnp.asarray(0.0, x.dtype)
+
+
 class LPIPSLike:
     """LPIPS-style perceptual distance: unit-normalized channel activations
     compared by squared difference with learned-slot linear weights,

@@ -110,9 +110,16 @@ def render_mesh(
     aa_max_pairs: Optional[int] = None,
     aa_z_thresh: float = 0.01,
     jitter_subsample: int = 2,
+    shade: bool = True,
 ) -> MeshBuffers:
     """Dispatch: the compacted training path (default where it applies) or
-    the full-image reference path (validation / spp>1 / pbr / oracle)."""
+    the full-image reference path (validation / spp>1 / pbr / oracle).
+
+    ``shade=False`` skips every texture/material lookup and returns zero
+    kd/ks/color channels (alpha, normals, msdf unchanged). The init stage's
+    total is reg+normal+msk with NO img term (ref train.py:718), so color is
+    a log-only output there — skipping it removes the hash-grid taps from
+    the hot loop without touching any gradient."""
     if compact is None:
         compact = (spp == 1 and bsdf == "kd" and not use_bruteforce_raster
                    and not aa_all_buffers and 0 < max_covered_frac < 1)
@@ -123,10 +130,11 @@ def render_mesh(
             msdf_attr=msdf_attr, face_labels=face_labels, v_nrm=v_nrm,
             raster_opts=raster_opts, max_covered_frac=max_covered_frac,
             aa_max_pairs=aa_max_pairs, aa_z_thresh=aa_z_thresh,
-            jitter_subsample=jitter_subsample)
+            jitter_subsample=jitter_subsample, shade=shade)
     return render_mesh_full(
         key, verts, verts_original, faces, face_valid, mvp, campos,
-        resolution, tex_module, tex_params, background, msdf_attr=msdf_attr,
+        resolution, tex_module, tex_params, background, shade=shade,
+        msdf_attr=msdf_attr,
         face_labels=face_labels, v_nrm=v_nrm, spp=spp,
         use_bruteforce_raster=use_bruteforce_raster, raster_opts=raster_opts,
         max_covered_frac=max_covered_frac, aa_all_buffers=aa_all_buffers,
@@ -155,6 +163,7 @@ def render_mesh_compact(
     aa_max_pairs: Optional[int] = None,
     aa_z_thresh: float = 0.01,
     jitter_subsample: int = 2,
+    shade: bool = True,
 ) -> MeshBuffers:
     """Covered-pixel-compacted render (the TPU training hot path).
 
@@ -230,13 +239,17 @@ def render_mesh_compact(
 
     # ---- texture + jittered smoothness taps ------------------------------
     k_jit, k_nrm = jax.random.split(key)
-    tex = tex_module.sample(tex_params, pos_orig) * vmask         # [P, 6]
-    kd_pix, ks_pix = tex[:, 0:3], tex[:, 3:6]
     sub = slice(None, None, jitter_subsample)
-    pts_h = pos_orig[sub]
-    noise = 0.01 * jax.random.normal(k_jit, pts_h.shape)
-    tex_j = tex_module.sample(tex_params, pts_h + noise)
-    tex_d = jnp.abs(tex_j - tex[sub]) * vmask[sub]
+    if shade:
+        tex = tex_module.sample(tex_params, pos_orig) * vmask     # [P, 6]
+        pts_h = pos_orig[sub]
+        noise = 0.01 * jax.random.normal(k_jit, pts_h.shape)
+        tex_j = tex_module.sample(tex_params, pts_h + noise)
+        tex_d = jnp.abs(tex_j - tex[sub]) * vmask[sub]
+    else:
+        tex = jnp.zeros((pos_orig.shape[0], 6), pos_orig.dtype)
+        tex_d = jnp.zeros((pos_orig[sub].shape[0], 6), pos_orig.dtype)
+    kd_pix, ks_pix = tex[:, 0:3], tex[:, 3:6]
     kd_grad_pix = tex_d[:, 0:3]
     ks_grad_pix = tex_d[:, 3:6] * jnp.asarray([0.0, 1.0, 1.0])
 
@@ -341,6 +354,7 @@ def render_mesh_full(
     n_light_samples: int = 8,
     shadow_scale: float = 1.0,
     sdf_fn=None,
+    shade: bool = True,
 ) -> MeshBuffers:
     H, W = resolution
     full_res = (H * spp, W * spp)
@@ -375,7 +389,10 @@ def render_mesh_full(
     k_jit, k_nrm = jax.random.split(key)
     npix = full_res[0] * full_res[1]
     max_cov = (int(npix * max_covered_frac) if max_covered_frac else npix)
-    if max_cov < npix:
+    if not shade:
+        tex = jnp.zeros((*full_res, 6))
+        tex_j = tex
+    elif max_cov < npix:
         flat_cov = cover.reshape(-1)
         from d3human_tpu.ops.compaction import first_k_indices
         cov_idx = first_k_indices(flat_cov, max_cov, npix)

@@ -85,7 +85,7 @@ def msdf_image_hinges(buffers: MeshBuffers, gt_mask: jnp.ndarray):
 def render_stage_mesh(key, model: GeometryModel, params, pose_params,
                       tex_module, tex_params, target, cfg: Config,
                       msdf_sign: float = 1.0,
-                      raster_opts=None, compact=None) -> tuple:
+                      raster_opts=None, compact=None, shade=True) -> tuple:
     """getMesh + render (ref render_init/render_split, hmsdf.py:706-773).
     Texture coordinates use the *unposed* template positions
     (ref render.py:259 interpolates mesh_original = tmp_nodeform_mesh)."""
@@ -109,6 +109,7 @@ def render_stage_mesh(key, model: GeometryModel, params, pose_params,
         max_covered_frac=cfg.render.max_covered_frac,
         jitter_subsample=cfg.render.jitter_subsample,
         compact=compact,
+        shade=shade,
     )
     return meshes, buffers
 
@@ -137,17 +138,22 @@ def tick_init(key, model: GeometryModel, params, pose_params,
               target, it, cfg: Config, raster_opts=None) -> Dict[str, jnp.ndarray]:
     """ref hmsdf.py:810-915 + total at train.py:718."""
     k_render, k_sample = jax.random.split(key)
+    shade = bool(cfg.render.init_shading)
     meshes, buffers = render_stage_mesh(
         k_render, model, params, pose_params, tex_module, tex_params,
-        target, cfg, raster_opts=raster_opts)
+        target, cfg, raster_opts=raster_opts, shade=shade)
 
     color_ref = target["all_img"]
     gt_mask = color_ref[..., 3:]
     loss_fn = make_loss_fn(cfg.loss.loss)
 
     msk_loss = 100.0 * jnp.mean((buffers.shaded[..., 3:] - gt_mask) ** 2)
-    img_loss = loss_fn(buffers.shaded[..., 0:3] * gt_mask,
-                       color_ref[..., 0:3] * gt_mask)
+    if shade:
+        img_loss = loss_fn(buffers.shaded[..., 0:3] * gt_mask,
+                           color_ref[..., 0:3] * gt_mask)
+    else:
+        # log-only metric (not in total, ref train.py:718); shading skipped
+        img_loss = jnp.asarray(0.0)
     img_loss = img_loss + msdf_image_hinges(buffers, gt_mask)
 
     # eikonal on points sampled from the posed surface (ref hmsdf.py:714,856)

@@ -1,0 +1,175 @@
+"""Full-scale init-stage stability A/B (r3 diagnosis).
+
+The r2/r3 full-scale parity runs both lost the init stage: r2 collapsed
+(n_cross 54k->7k) and r3 exploded then collapsed (57k->220k->0) while
+msk_loss climbed from 0.68 to ~18 — the optimizer actively un-fitting the
+silhouette. Root-cause candidates:
+
+  1. training data: frame_target() used to CLAMP the frame index, so every
+     iter >= n_frames trained one fixed view and the synthetic turn spanned
+     only 0.4 rad — the occluded ~80% of the volume was unconstrained
+     (fixed in data/synthetic.py: reference-style ``itr % n_images`` cycling
+     + full turntable rotation, ref dataset_split.py:207);
+  2. the x50 perceptual normal loss on RANDOM conv features
+     (PERCEPTUAL_AB.json already measured it hurting chamfer);
+  3. plain step-size instability at 1080^2 silhouette-gradient scale.
+
+This script isolates them at full f3c scale: ONE setup (scene, grid,
+pretrained SDF), then short fresh-state init arms per variant, logging the
+msk/n_cross trajectories that discriminate the hypotheses. Run on TPU:
+
+    python scripts/ab_init_arms.py --iters 400 --arms conv,none,pyramid
+
+Writes AB_INIT.json incrementally (one entry per arm).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3human_tpu.utils.jax_setup import setup as _setup_jax
+
+_setup_jax()
+
+from d3human_tpu.config import load_config
+from d3human_tpu.data.synthetic import make_scene
+from d3human_tpu.models.geometry import GeometryModel
+from d3human_tpu.models.perceptual import (
+    ConvPerceptual, NullPerceptual, PyramidPerceptual,
+)
+from d3human_tpu.models.texture import MLPTexture3D
+from d3human_tpu.ops.tet_grid import make_tet_grid
+from d3human_tpu.render import light as light_mod
+from d3human_tpu.train.step import TrainState, make_train_step
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/f3c_synth.json")
+    p.add_argument("--iters", type=int, default=400)
+    p.add_argument("--arms", default="conv,none,pyramid",
+                   help="comma list: conv|none|pyramid|lr01|noclip")
+    p.add_argument("--out", default="AB_INIT.json")
+    p.add_argument("--grid-cache", default="out/parity_r03/tet_grid_128.npz")
+    return p.parse_args()
+
+
+BACKBONES = {
+    "conv": ConvPerceptual,
+    "none": NullPerceptual,
+    "pyramid": PyramidPerceptual,
+}
+
+
+def main():
+    args = parse_args()
+    cfg0 = load_config(args.config, overrides={"out_dir": "out/ab_init"})
+    os.makedirs(cfg0.out_dir, exist_ok=True)
+
+    print("[setup] scene", flush=True)
+    scene = make_scene(resolution=tuple(cfg0.render.train_res), n_frames=8)
+    g = cfg0.geometry
+    grid = make_tet_grid(
+        res=g.grid_res, bounds=((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5)),
+        y_offset=g.grid_y_offset, scale=g.grid_scale,
+        cache_path=args.grid_cache)
+    model = GeometryModel(cfg0, grid, scene.deformer, scene.canon)
+
+    key = jax.random.PRNGKey(cfg0.seed)
+    kG, kT, kL, kRun = jax.random.split(key, 4)
+    gparams = model.init_params(kG, n_images=scene.n_frames)
+
+    print("[setup] sdf pretrain", flush=True)
+    t0 = time.time()
+    gt_sdf = model.smpl_template_sdf()
+    gparams, ploss = model.pretrain_sdf(
+        gparams, gt_sdf, steps=cfg0.stages.sdf_mlp_pretrain_steps)
+    gparams = model.pretrain_nonrigid_zero(
+        gparams, cfg0.stages.sdf_deform_pretrain_steps)
+    print(f"[setup] pretrain done loss={ploss:.2e} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    mn = jnp.concatenate([jnp.asarray(cfg0.render.kd_min[:3]),
+                          jnp.asarray(cfg0.render.ks_min)])
+    mx = jnp.concatenate([jnp.asarray(cfg0.render.kd_max[:3]),
+                          jnp.asarray(cfg0.render.ks_max)])
+    tex = MLPTexture3D(cfg0.texture, (mn, mx))
+    params0 = {
+        "geometry": gparams,
+        "pose": {k: jnp.asarray(np.asarray(v))
+                 for k, v in scene.pose_params.items()},
+        "material": tex.init(kT),
+        "light": light_mod.create_trainable_env(kL, cfg0.render.probe_res),
+    }
+    # host-side snapshot: each arm's TrainState is donated into its step,
+    # so the shared starting tree must be rebuilt from host copies per arm
+    host0 = jax.tree_util.tree_map(np.asarray, params0)
+
+    results = {}
+    if os.path.exists(args.out):
+        results = json.load(open(args.out))
+
+    for arm in args.arms.split(","):
+        import dataclasses
+
+        cfg = cfg0
+        backbone = "conv"
+        if arm in BACKBONES:
+            backbone = arm
+        elif arm == "lr01":
+            lr = list(cfg0.optim.learning_rate)
+            cfg = dataclasses.replace(cfg0, optim=dataclasses.replace(
+                cfg0.optim, learning_rate=(lr[0] * 0.1, lr[1])))
+        elif arm == "noclip":
+            cfg = dataclasses.replace(cfg0, optim=dataclasses.replace(
+                cfg0.optim, clip_max_norm=0.0))
+        else:
+            raise SystemExit(f"unknown arm {arm}")
+
+        perceptual = BACKBONES[backbone]()
+        perc_params = perceptual.init()
+        print(f"[arm {arm}] compile", flush=True)
+        tx, step_fn = make_train_step("init", model, tex, perceptual,
+                                      perc_params, cfg)
+        params = jax.tree_util.tree_map(jnp.asarray, host0)
+        state = TrainState(params=params, opt_state=tx.init(params),
+                           step=jnp.zeros((), jnp.int32))
+
+        traj = []
+        t0 = time.time()
+        for it in range(args.iters):
+            target = scene.frame_target(it)
+            state, aux = step_fn(state, target,
+                                 jax.random.fold_in(kRun, it))
+            if it % 10 == 0 or it == args.iters - 1:
+                row = {k: round(float(v), 4) for k, v in aux.items()
+                       if np.ndim(v) == 0}
+                row["it"] = it
+                traj.append(row)
+                if it % 50 == 0:
+                    print(f"[arm {arm}] it={it} total={row['total']:.3f} "
+                          f"msk={row['msk_loss']:.3f} "
+                          f"n_cross={row['n_cross']:.0f}", flush=True)
+        dt = time.time() - t0
+        results[arm] = {
+            "iters": args.iters, "s_per_iter": round(dt / args.iters, 3),
+            "final": traj[-1], "traj": traj,
+        }
+        with open(args.out, "w") as fh:
+            json.dump(results, fh, indent=1)
+        print(f"[arm {arm}] done: final msk={traj[-1]['msk_loss']:.3f} "
+              f"n_cross={traj[-1]['n_cross']:.0f} ({dt:.0f}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

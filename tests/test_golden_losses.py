@@ -70,6 +70,41 @@ def test_init_tick_matches_golden():
                 (k, got, want)
 
 
+def test_init_shading_off_only_zeroes_img_loss():
+    """render.init_shading=False (the full-scale perf config) must leave
+    every gradient-bearing init loss bit-identical — the init total has no
+    image term (ref train.py:718) so skipping shading can only change the
+    log-only img_loss (which drops to its msdf-hinge component)."""
+    import dataclasses
+
+    from __graft_entry__ import _small_setup
+    from d3human_tpu.train import losses as L
+
+    cfg, scene, model, tex, perceptual, perc_params, params = _small_setup()
+    cfg_off = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, init_shading=False))
+    target = scene.frame_target(0)
+    raster_opts = dict(tile=(8, 16), max_faces_per_tile=128, bin_expand=8,
+                       max_global=128)
+
+    def run(c):
+        return jax.jit(lambda cs, p, t: {
+            k: v for k, v in L.tick_init(
+                jax.random.PRNGKey(3), model.bind(cs), p["geometry"],
+                p["pose"], tex, p["material"], perceptual, perc_params, t,
+                jnp.int32(7), c, raster_opts).items() if jnp.ndim(v) == 0
+        })(model.consts(), params, target)
+
+    on = {k: float(v) for k, v in run(cfg).items()}
+    off = {k: float(v) for k, v in run(cfg_off).items()}
+    assert set(on) == set(off)
+    for k in on:
+        if k == "img_loss":
+            assert off[k] <= on[k] + 1e-6
+        else:
+            assert off[k] == on[k], (k, on[k], off[k])
+
+
 if __name__ == "__main__":
     print(json.dumps({k: round(v, 6) for k, v in sorted(_compute().items())},
                      indent=1))

@@ -180,6 +180,11 @@ def main():
 
         perceptual = PyramidPerceptual()
         perc_params = perceptual.init()
+    elif cfg.loss.perceptual_backbone == "none":
+        from d3human_tpu.models.perceptual import NullPerceptual
+
+        perceptual = NullPerceptual()
+        perc_params = perceptual.init()
     else:
         perceptual = ConvPerceptual()
         perc_params = perceptual.init()
