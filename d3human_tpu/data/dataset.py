@@ -102,6 +102,32 @@ def load_smplx_params(root: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def shuffled_indexer(n_frames: int, seed: int = 0):
+    """Reference-parity random frame order: the reference wraps its dataset
+    in ``DataLoader(..., shuffle=True)`` (train.py:585), so consecutive
+    training steps see frames in a fresh random order each epoch. Sequential
+    cycling through a turntable capture is NOT equivalent — the view
+    direction then rotates slowly and coherently and the optimizer "chases"
+    the current view, un-fitting the opposite side each half-cycle; at full
+    LR this rings the silhouette fit until the SDF loses its zero crossing
+    (the r3 full-scale init collapse at warmup end, AB_INIT.json).
+
+    Deterministic: the permutation for epoch e depends only on (seed, e), so
+    checkpoint resume replays the identical order.
+    """
+    state = {"epoch": -1, "perm": None}
+
+    def fn(it: int) -> int:
+        ep, off = divmod(int(it), n_frames)
+        if ep != state["epoch"]:
+            state["perm"] = np.random.default_rng(
+                (seed, ep)).permutation(n_frames)
+            state["epoch"] = ep
+        return int(state["perm"][off])
+
+    return fn
+
+
 class FrameDataset:
     """Decode-once frame store with the reference's preprocessing."""
 

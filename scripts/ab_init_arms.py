@@ -61,6 +61,10 @@ def parse_args():
                    help="comma list: conv|none|pyramid|lr01|noclip")
     p.add_argument("--out", default="AB_INIT.json")
     p.add_argument("--grid-cache", default="out/parity_r03/tet_grid_128.npz")
+    p.add_argument("--n-frames", type=int, default=8)
+    p.add_argument("--shuffle", action="store_true",
+                   help="reference-parity random frame order "
+                        "(DataLoader shuffle=True, train.py:585)")
     return p.parse_args()
 
 
@@ -77,7 +81,13 @@ def main():
     os.makedirs(cfg0.out_dir, exist_ok=True)
 
     print("[setup] scene", flush=True)
-    scene = make_scene(resolution=tuple(cfg0.render.train_res), n_frames=8)
+    scene = make_scene(resolution=tuple(cfg0.render.train_res),
+                       n_frames=args.n_frames)
+    if args.shuffle:
+        from d3human_tpu.data.dataset import shuffled_indexer
+        order = shuffled_indexer(scene.n_frames, seed=cfg0.seed)
+    else:
+        order = lambda it: it  # noqa: E731  (frame_target applies % itself)
     g = cfg0.geometry
     grid = make_tet_grid(
         res=g.grid_res, bounds=((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5)),
@@ -148,7 +158,7 @@ def main():
         traj = []
         t0 = time.time()
         for it in range(args.iters):
-            target = scene.frame_target(it)
+            target = scene.frame_target(order(it))
             state, aux = step_fn(state, target,
                                  jax.random.fold_in(kRun, it))
             if it % 10 == 0 or it == args.iters - 1:

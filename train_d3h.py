@@ -51,6 +51,8 @@ def parse_args():
     p.add_argument("--folder_name", type=str, default="")
     p.add_argument("--synthetic", action="store_true",
                    help="run on the built-in synthetic scene")
+    p.add_argument("--synthetic-frames", type=int, default=64,
+                   help="synthetic capture length (turntable frame count)")
     p.add_argument("--stages", type=str,
                    default="split_smpl,init,split,seq",
                    help="comma-separated subset of the stage graph")
@@ -117,12 +119,19 @@ def main():
 
     # ---------------- data + body model ----------------------------------
     if args.synthetic:
+        # frame count approximates a real self-rotation capture: many
+        # frames with small (~5-6 deg) view increments. Few widely-spaced
+        # views make consecutive steps conflict violently (see
+        # shuffled_indexer docstring / AB_INIT.json).
         scene = make_scene(resolution=tuple(cfg.render.train_res),
-                           n_frames=8)
+                           n_frames=args.synthetic_frames)
         deformer, canon = scene.deformer, scene.canon
         pose_params = scene.pose_params
         n_images = scene.n_frames
-        get_target = scene.frame_target
+        from d3human_tpu.data.dataset import shuffled_indexer
+        _order = shuffled_indexer(n_images, seed=cfg.seed)
+        get_frame = scene.frame_target            # frame semantics (seq)
+        get_target = lambda it: get_frame(_order(it))  # noqa: E731
         # numpy snapshot of GT poses (live arrays are donated into the step)
         gt_pose = {k: np.asarray(v) for k, v in scene.pose_params.items()}
     else:
@@ -139,11 +148,16 @@ def main():
                        for k, v in dataset.smplx_params.items()}
         n_images = dataset.n_images
         rng = np.random.default_rng(0)
+        from d3human_tpu.data.dataset import shuffled_indexer
+        _order = shuffled_indexer(n_images, seed=cfg.seed)
 
-        def get_target(it):
-            t = dataset.frame_target(it)
+        def get_frame(frame):                     # frame semantics (seq)
+            t = dataset.frame_target(frame)
             t = composite_background(t, "random", rng)
             return {k: jnp.asarray(v) for k, v in t.items()}
+
+        def get_target(it):
+            return get_frame(_order(it))
 
     # ---------------- model ------------------------------------------------
     g = cfg.geometry
@@ -296,7 +310,7 @@ def main():
                 cfg.stages,
                 seq_iters_first=s(cfg.stages.seq_iters_first),
                 seq_iters_rest=s(cfg.stages.seq_iters_rest)))
-        run_seq_stage(state, step_fn, template, get_target,
+        run_seq_stage(state, step_fn, template, get_frame,
                       n_frames=n_images, cfg=cfg_seq,
                       save_path=os.path.join(cfg.out_dir, "seq"),
                       key=jax.random.fold_in(kRun, 3), model=model)
