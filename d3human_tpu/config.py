@@ -161,6 +161,10 @@ class OptimConfig:
     # 0 = off (reference-parity dynamics); full-scale configs enable it
     # explicitly (configs/f3c*.json) where the collapse was observed.
     clip_max_norm: float = 0.0
+    # init-stage sdf_net LR multiplier (ref train.py:612 hardcodes 1e-2).
+    # Exposed as a stabilization knob: at full scale the sdf MLP group is the
+    # one that can empty the field's zero crossing (see STABILITY.md).
+    sdf_lr_mult: float = 1e-2
     light_grad_scale: float = 64.0   # ref train.py:744-745
     hashgrid_grad_scale: float = 0.125  # ref train.py:747-750 (grad /= 8)
     nonrigid_begin: int = 20000      # ref train.py:1632

@@ -133,6 +133,15 @@ def capacity_metrics(buffers: MeshBuffers, meshes=None) -> dict:
     return out
 
 
+def mask_iou(pred_alpha, gt_mask):
+    """Hard-threshold silhouette IoU — convergence telemetry (not a loss)."""
+    p = pred_alpha > 0.5
+    g = gt_mask > 0.5
+    inter = jnp.sum(p & g).astype(jnp.float32)
+    union = jnp.sum(p | g).astype(jnp.float32)
+    return inter / jnp.maximum(union, 1.0)
+
+
 def tick_init(key, model: GeometryModel, params, pose_params,
               tex_module, tex_params, perceptual: ConvPerceptual, perc_params,
               target, it, cfg: Config, raster_opts=None) -> Dict[str, jnp.ndarray]:
@@ -178,6 +187,7 @@ def tick_init(key, model: GeometryModel, params, pose_params,
         "total": total, "img_loss": img_loss, "msk_loss": msk_loss,
         "sdf_reg_loss": sdf_reg, "eik_loss": eik, "reg_loss": reg_loss,
         "normal_loss": normal_loss,
+        "iou": mask_iou(buffers.shaded[..., 3:], gt_mask),
     }
     out.update(capacity_metrics(buffers, meshes))
     return out

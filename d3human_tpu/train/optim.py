@@ -75,7 +75,7 @@ def _geometry_label(stage: str, path_str: str) -> str:
         if "deform" in p and "nonrigid" not in p:
             return "x1"
         if "sdf_net" in p:
-            return "x1e-2"
+            return "xsdf"
         if "msdf" in p or "nonrigid" in p:
             return "frozen"
         return "x1e-3"
@@ -105,7 +105,8 @@ def _geometry_label(stage: str, path_str: str) -> str:
 def make_optimizer(stage: str, lr_pos: float, lr_mat: float, lr_lgt: float,
                    warmup_iter: int, hashgrid_grad_scale: float = 0.125,
                    light_grad_scale: float = 64.0,
-                   geo_clip_norm: float = 1.0):
+                   geo_clip_norm: float = 1.0,
+                   sdf_lr_mult: float = 1e-2):
     """One optax optimizer over the full params tree
     {geometry, pose, material, light}. Top-level key + geometry path decide
     the group."""
@@ -156,6 +157,7 @@ def make_optimizer(stage: str, lr_pos: float, lr_mat: float, lr_lgt: float,
                 adam(lr_lgt),                 # ref :744-745 + :588
             ),
             "geo_x1": geo_adam(lr_pos, 1.0),
+            "geo_xsdf": geo_adam(lr_pos, sdf_lr_mult),  # init sdf_net group
             "geo_x1e-2": geo_adam(lr_pos, 1e-2),
             "geo_x1e-3": geo_adam(lr_pos, 1e-3),
             "geo_frozen": optax.set_to_zero(),

@@ -35,7 +35,8 @@ def init_state(stage: str, params: dict, cfg: Config):
                         cfg.optim.warmup_iter,
                         cfg.optim.hashgrid_grad_scale,
                         cfg.optim.light_grad_scale,
-                        geo_clip_norm=cfg.optim.clip_max_norm)
+                        geo_clip_norm=cfg.optim.clip_max_norm,
+                        sdf_lr_mult=cfg.optim.sdf_lr_mult)
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.zeros((), jnp.int32)), tx
 
@@ -91,7 +92,8 @@ def make_train_step(stage: str, model: GeometryModel, tex_module,
                         cfg.optim.warmup_iter,
                         cfg.optim.hashgrid_grad_scale,
                         cfg.optim.light_grad_scale,
-                        geo_clip_norm=cfg.optim.clip_max_norm)
+                        geo_clip_norm=cfg.optim.clip_max_norm,
+                        sdf_lr_mult=cfg.optim.sdf_lr_mult)
     loss_fn = make_stage_loss_fn(stage, tex_module, perceptual, perc_params,
                                  cfg, raster_opts)
 

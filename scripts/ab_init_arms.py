@@ -140,6 +140,17 @@ def main():
             lr = list(cfg0.optim.learning_rate)
             cfg = dataclasses.replace(cfg0, optim=dataclasses.replace(
                 cfg0.optim, learning_rate=(lr[0] * 0.1, lr[1])))
+        elif arm == "lr3":
+            lr = list(cfg0.optim.learning_rate)
+            cfg = dataclasses.replace(cfg0, optim=dataclasses.replace(
+                cfg0.optim, learning_rate=(lr[0] / 3.0, lr[1])))
+        elif arm == "warm1000":
+            cfg = dataclasses.replace(cfg0, optim=dataclasses.replace(
+                cfg0.optim, warmup_iter=1000))
+        elif arm == "sdflow":
+            # only the init sdf_net group: ref 1e-2 -> 1e-3 (sdf lr 3e-5)
+            cfg = dataclasses.replace(cfg0, optim=dataclasses.replace(
+                cfg0.optim, sdf_lr_mult=1e-3))
         elif arm == "noclip":
             cfg = dataclasses.replace(cfg0, optim=dataclasses.replace(
                 cfg0.optim, clip_max_norm=0.0))
@@ -169,6 +180,7 @@ def main():
                 if it % 50 == 0:
                     print(f"[arm {arm}] it={it} total={row['total']:.3f} "
                           f"msk={row['msk_loss']:.3f} "
+                          f"iou={row.get('iou', float('nan')):.3f} "
                           f"n_cross={row['n_cross']:.0f}", flush=True)
         dt = time.time() - t0
         results[arm] = {

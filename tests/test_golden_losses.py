@@ -26,6 +26,7 @@ GOLDEN = {
     "cap_cov": 0.632812,
     "eik_loss": 0.383075,
     "img_loss": 0.602159,
+    "iou": 0.066313,
     "msk_loss": 30.975279,
     "n_big_faces": 0.0,
     "n_cross": 1173.0,

@@ -27,7 +27,9 @@ def test_lr_schedule_warmup_and_decay():
 def test_geometry_labels_match_reference_groups():
     # init (ref train.py:599-614): msdf & nonrigid frozen
     assert _geometry_label("init", "['deform']") == "x1"
-    assert _geometry_label("init", "['sdf_net']['layers'][0]['w']") == "x1e-2"
+    # sdf_net gets its own label so the ref 1e-2 multiplier (train.py:612)
+    # is tunable via optim.sdf_lr_mult without touching split's x1e-2 group
+    assert _geometry_label("init", "['sdf_net']['layers'][0]['w']") == "xsdf"
     assert _geometry_label("init", "['msdf']") == "frozen"
     assert _geometry_label("init", "['nonrigid']['layers'][0]['w']") == "frozen"
     assert _geometry_label("init", "['cond']") == "x1e-3"
