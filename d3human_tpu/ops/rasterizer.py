@@ -245,9 +245,17 @@ def rasterize(
     tile_faces = jnp.where(in_list, s_face[gpos], 0)              # [NT, MFPT]
     tile_live = in_list
 
-    # global (oversize) face list
-    big_idx = first_k_indices(big, max_global, F)
-    big_ok = big_idx < F
+    # global (oversize) face list — nearest-z first, mirroring the per-tile
+    # truncation policy: if n_big ever exceeds max_global the dropped tail is
+    # the farthest (most-occluded) faces, not an arbitrary index suffix that
+    # could delete near-camera geometry in close-up frames.
+    big_key = jnp.where(big, zq, jnp.int32(1) << 30)
+    big_idx = jnp.argsort(big_key)[:max_global].astype(jnp.int32)
+    big_ok = jnp.take(big_key, big_idx) < (jnp.int32(1) << 30)
+    if big_idx.shape[0] < max_global:          # tiny meshes: F < max_global
+        pad = max_global - big_idx.shape[0]
+        big_idx = jnp.pad(big_idx, (0, pad))
+        big_ok = jnp.pad(big_ok, (0, pad))
     big_idx_c = jnp.clip(big_idx, 0, F - 1)
 
     if backend == "auto":
