@@ -128,7 +128,8 @@ def run_stage(
                       f"raster coverage may be wrong — raise "
                       f"max_faces_per_tile", flush=True)
             # oversize (multi-tile) faces past max_global are dropped
-            # UNordered (ADVICE r2) — loud when the 128-slot list overflows
+            # farthest-first (z-sorted like the per-tile lists) — still
+            # loud when the 128-slot list overflows
             nbig = max((v for k, v in scalars.items()
                         if k.endswith("n_big_faces")), default=0)
             if nbig > 128:

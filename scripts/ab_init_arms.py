@@ -183,8 +183,29 @@ def main():
                           f"iou={row.get('iou', float('nan')):.3f} "
                           f"n_cross={row['n_cross']:.0f}", flush=True)
         dt = time.time() - t0
+
+        # end-of-arm quality eval: silhouette IoU + masked PSNR over 8
+        # turntable views (quality discriminator beyond the msk trajectory)
+        from d3human_tpu.utils.metrics import psnr as _psnr
+        from d3human_tpu.train.validate import validate_stage
+        ious, psnrs = [], []
+        for fi in range(0, scene.n_frames, max(1, scene.n_frames // 8)):
+            t = scene.frame_target(fi)
+            _, buf = validate_stage(jax.random.fold_in(kRun, 999), model,
+                                    state.params, tex, t, cfg,
+                                    return_buffers=True)
+            gt = np.asarray(t["all_img"])
+            pa = np.asarray(buf.shaded[..., 3]) > 0.5
+            ga = gt[..., 3] > 0.5
+            ious.append(float((pa & ga).sum() / max((pa | ga).sum(), 1)))
+            psnrs.append(float(_psnr(
+                jnp.asarray(np.asarray(buf.shaded[..., :3]) * gt[..., 3:]),
+                jnp.asarray(gt[..., :3] * gt[..., 3:]))))
         results[arm] = {
             "iters": args.iters, "s_per_iter": round(dt / args.iters, 3),
+            "eval_iou_mean": round(float(np.mean(ious)), 4),
+            "eval_iou_min": round(float(np.min(ious)), 4),
+            "eval_psnr_mean": round(float(np.mean(psnrs)), 2),
             "final": traj[-1], "traj": traj,
         }
         with open(args.out, "w") as fh:
