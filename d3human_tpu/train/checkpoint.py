@@ -49,6 +49,39 @@ def load_params(path: str, params_template):
         jax.tree_util.tree_structure(params_template), new_leaves)
 
 
+def pretrain_cache_paths(cfg, cache_dir: str = os.path.join("out", "cache")):
+    """Canonical cache filenames for the two one-off pretrains, keyed by
+    everything that determines their result (grid, step counts, seed)."""
+    g = cfg.geometry
+    pcache = os.path.join(
+        cache_dir, f"sdf_pretrain_g{g.grid_res}x{g.grid_scale}"
+        f"_s{cfg.stages.sdf_mlp_pretrain_steps}_seed{cfg.seed}.npz")
+    ncache = os.path.join(
+        cache_dir, f"nonrigid_zero_s{cfg.stages.sdf_deform_pretrain_steps}"
+        f"_seed{cfg.seed}.npz")
+    return pcache, ncache
+
+
+def cached_sdf_pretrain(model, gparams, steps: int, cache_path: str,
+                        gt_sdf=None):
+    """Disk-cached SDF-MLP pretraining (ref hmsdf.py:251-253 caches the
+    pretrained net and skips the 3000-step fit when present). Stores ONLY
+    the sdf_net subtree so the caller's fresh msdf/deform/cond inits are
+    preserved (the init stage re-pretrains after reinit_fields, ref
+    train.py:1802-1803). Returns (gparams, loss_or_None)."""
+    if cache_path and os.path.exists(cache_path):
+        print(f"[pretrain] cached sdf_net <- {cache_path}", flush=True)
+        out = dict(gparams)
+        out["sdf_net"] = load_params(cache_path, gparams["sdf_net"])
+        return out, None
+    if gt_sdf is None:
+        gt_sdf = model.smpl_template_sdf()
+    gparams, ploss = model.pretrain_sdf(gparams, gt_sdf, steps=steps)
+    if cache_path:
+        save_params(cache_path, gparams["sdf_net"])
+    return gparams, ploss
+
+
 def save_state(path: str, state) -> None:
     """Serialize a full TrainState (params + optimizer moments + step) so a
     resumed run is bit-identical to the uninterrupted one (stronger than the

@@ -101,12 +101,21 @@ def main():
 
     print("[setup] sdf pretrain", flush=True)
     t0 = time.time()
-    gt_sdf = model.smpl_template_sdf()
-    gparams, ploss = model.pretrain_sdf(
-        gparams, gt_sdf, steps=cfg0.stages.sdf_mlp_pretrain_steps)
-    gparams = model.pretrain_nonrigid_zero(
-        gparams, cfg0.stages.sdf_deform_pretrain_steps)
-    print(f"[setup] pretrain done loss={ploss:.2e} "
+    from d3human_tpu.train.checkpoint import (
+        cached_sdf_pretrain, load_params, pretrain_cache_paths, save_params,
+    )
+    pcache, ncache = pretrain_cache_paths(cfg0)
+    gparams, ploss = cached_sdf_pretrain(
+        model, gparams, cfg0.stages.sdf_mlp_pretrain_steps, pcache)
+    if os.path.exists(ncache):
+        gparams = dict(gparams)
+        gparams["nonrigid"] = load_params(ncache, gparams["nonrigid"])
+    else:
+        gparams = model.pretrain_nonrigid_zero(
+            gparams, cfg0.stages.sdf_deform_pretrain_steps)
+        save_params(ncache, gparams["nonrigid"])
+    print(f"[setup] pretrain done loss="
+          f"{'cached' if ploss is None else f'{ploss:.2e}'} "
           f"({time.time()-t0:.0f}s)", flush=True)
 
     mn = jnp.concatenate([jnp.asarray(cfg0.render.kd_min[:3]),

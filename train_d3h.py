@@ -36,7 +36,10 @@ from d3human_tpu.ops.tet_grid import make_tet_grid
 from d3human_tpu.pipeline.components import process_close_hole
 from d3human_tpu.pipeline.template import build_seq_template, merge_body_cloth
 from d3human_tpu.render import light as light_mod
-from d3human_tpu.train.checkpoint import latest_checkpoint, load_state
+from d3human_tpu.train.checkpoint import (
+    cached_sdf_pretrain, latest_checkpoint, load_params, load_state,
+    pretrain_cache_paths, save_params,
+)
 from d3human_tpu.train.stages import (
     export_stage_meshes, run_seq_stage, run_stage,
 )
@@ -172,12 +175,21 @@ def main():
     gparams = model.init_params(kG, n_images=n_images)
 
     print("[pretrain] SDF -> template body SDF", flush=True)
-    gt_sdf = model.smpl_template_sdf()
-    gparams, ploss = model.pretrain_sdf(
-        gparams, gt_sdf, steps=cfg.stages.sdf_mlp_pretrain_steps)
-    print(f"[pretrain] done, loss={ploss:.2e}", flush=True)
-    gparams = model.pretrain_nonrigid_zero(
-        gparams, cfg.stages.sdf_deform_pretrain_steps)
+    # disk-cached like the reference (hmsdf.py:251-253, :289-291) — keyed by
+    # everything that determines the result (grid, steps, seed)
+    pcache, ncache = pretrain_cache_paths(cfg)
+    gparams, ploss = cached_sdf_pretrain(
+        model, gparams, cfg.stages.sdf_mlp_pretrain_steps, pcache)
+    print(f"[pretrain] done, loss="
+          f"{'cached' if ploss is None else f'{ploss:.2e}'}", flush=True)
+    if os.path.exists(ncache):
+        print(f"[pretrain] cached nonrigid <- {ncache}", flush=True)
+        gparams = dict(gparams)
+        gparams["nonrigid"] = load_params(ncache, gparams["nonrigid"])
+    else:
+        gparams = model.pretrain_nonrigid_zero(
+            gparams, cfg.stages.sdf_deform_pretrain_steps)
+        save_params(ncache, gparams["nonrigid"])
 
     mn = jnp.concatenate([jnp.asarray(cfg.render.kd_min[:3]),
                           jnp.asarray(cfg.render.ks_min)])
@@ -255,9 +267,9 @@ def main():
         params = dict(params)
         params["geometry"] = model.reinit_fields(
             jax.random.fold_in(key, 7), params["geometry"])
-        params["geometry"], _ = model.pretrain_sdf(
-            params["geometry"], gt_sdf,
-            steps=cfg.stages.sdf_mlp_pretrain_steps)
+        params["geometry"], _ = cached_sdf_pretrain(
+            model, params["geometry"], cfg.stages.sdf_mlp_pretrain_steps,
+            pcache)
         state, step_fn = stage_state("init")
         sdir = os.path.join(cfg.out_dir, "init")
         n = s(cfg.stages.init_epoch)
