@@ -165,6 +165,11 @@ class OptimConfig:
     # Exposed as a stabilization knob: at full scale the sdf MLP group is the
     # one that can empty the field's zero crossing (see STABILITY.md).
     sdf_lr_mult: float = 1e-2
+    # init-stage geometry/pose LR scale (STABILITY.md experiment 3): at f3c
+    # scale the reference's lr_pos=0.03 rings the silhouette fit until the
+    # SDF loses its zero crossing; x0.1 is the measured stable setting. The
+    # deviation is scoped to init — split/seq converge at reference LRs.
+    init_lr_scale: float = 1.0
     light_grad_scale: float = 64.0   # ref train.py:744-745
     hashgrid_grad_scale: float = 0.125  # ref train.py:747-750 (grad /= 8)
     nonrigid_begin: int = 20000      # ref train.py:1632

@@ -31,6 +31,8 @@ class TrainState(NamedTuple):
 
 def init_state(stage: str, params: dict, cfg: Config):
     lr_pos, lr_mat, lr_lgt = resolve_lrs(cfg.optim.learning_rate)
+    if stage == "init":
+        lr_pos *= cfg.optim.init_lr_scale
     tx = make_optimizer(stage, lr_pos, lr_mat, lr_lgt,
                         cfg.optim.warmup_iter,
                         cfg.optim.hashgrid_grad_scale,
@@ -88,6 +90,8 @@ def make_train_step(stage: str, model: GeometryModel, tex_module,
     """Returns (state, tx, step_fn). step_fn(state, target, key) ->
     (state, metrics)."""
     lr_pos, lr_mat, lr_lgt = resolve_lrs(cfg.optim.learning_rate)
+    if stage == "init":
+        lr_pos *= cfg.optim.init_lr_scale
     tx = make_optimizer(stage, lr_pos, lr_mat, lr_lgt,
                         cfg.optim.warmup_iter,
                         cfg.optim.hashgrid_grad_scale,
