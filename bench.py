@@ -59,9 +59,16 @@ def build(scale: str):
         res, grid_res = (256, 256), 32
         mv, mt = 2 ** 14, 2 ** 14
 
+    # BENCH_SHADING=off measures init with the shading pass skipped — the
+    # init total has no image term (ref train.py:718; the reference still
+    # pays the texture/shade cost for a log-only value), proven
+    # loss-bit-identical by tests/test_golden_losses.py. Default keeps the
+    # reference-equivalent workload.
+    shading = os.environ.get("BENCH_SHADING", "on") != "off"
     cfg = Config(
         geometry=GeometryConfig(grid_res=grid_res, max_verts=mv, max_tets=mt),
-        render=RenderConfig(train_res=res, texture_res=res),
+        render=RenderConfig(train_res=res, texture_res=res,
+                            init_shading=shading),
         stages=StageConfig(init_epoch=2001),
     )
     scene = make_scene(resolution=(64, 64), n_frames=2)  # poses/camera only
