@@ -160,6 +160,10 @@ def main():
             # only the init sdf_net group: ref 1e-2 -> 1e-3 (sdf lr 3e-5)
             cfg = dataclasses.replace(cfg0, optim=dataclasses.replace(
                 cfg0.optim, sdf_lr_mult=1e-3))
+        elif arm == "bf16":
+            # sdf MLP hidden layers in bfloat16 (perf lever; quality gate)
+            cfg = dataclasses.replace(cfg0, field=dataclasses.replace(
+                cfg0.field, use_bfloat16=True))
         elif arm == "noclip":
             cfg = dataclasses.replace(cfg0, optim=dataclasses.replace(
                 cfg0.optim, clip_max_norm=0.0))
