@@ -1,0 +1,134 @@
+"""Multi-view parity re-scoring from saved stage checkpoints.
+
+PARITY.json's per-stage psnr/mask_iou come from ONE fixed validation view;
+per-frame silhouette IoU spreads +-0.08 across the turntable (AB_INIT_ARMS2
+trajectories), so a single view under- or over-states quality. This script
+loads each stage's final TrainState checkpoint and scores the mean/min IoU
+and mean PSNR over N evenly spaced views, writing PARITY_MULTIVIEW.json
+next to PARITY.json.
+
+    python scripts/eval_parity.py --out-dir out/parity_r03d \
+        --config configs/f3c_synth.json --stages split_smpl,init,split
+
+(synthetic scenes only — the real-capture path has no exact GT masks)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3human_tpu.utils.jax_setup import setup as _setup_jax
+
+_setup_jax()
+
+from d3human_tpu.config import load_config
+from d3human_tpu.data.synthetic import make_scene
+from d3human_tpu.models.geometry import GeometryModel
+from d3human_tpu.models.perceptual import ConvPerceptual
+from d3human_tpu.models.texture import MLPTexture3D
+from d3human_tpu.ops.tet_grid import make_tet_grid
+from d3human_tpu.render import light as light_mod
+from d3human_tpu.train.checkpoint import latest_checkpoint, load_state
+from d3human_tpu.train.step import TrainState, init_state
+from d3human_tpu.train.validate import validate_split_stage, validate_stage
+from d3human_tpu.utils.metrics import psnr as _psnr
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/f3c_synth.json")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--stages", default="split_smpl,init,split")
+    p.add_argument("--n-views", type=int, default=8)
+    p.add_argument("--n-frames", type=int, default=64)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = load_config(args.config, overrides={"out_dir": args.out_dir})
+    scene = make_scene(resolution=tuple(cfg.render.train_res),
+                       n_frames=args.n_frames)
+    g = cfg.geometry
+    grid = make_tet_grid(
+        res=g.grid_res, bounds=((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5)),
+        y_offset=g.grid_y_offset, scale=g.grid_scale,
+        cache_path=os.path.join(cfg.out_dir, f"tet_grid_{g.grid_res}.npz"))
+    model = GeometryModel(cfg, grid, scene.deformer, scene.canon)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    kG, kT, kL, _ = jax.random.split(key, 4)
+    mn = jnp.concatenate([jnp.asarray(cfg.render.kd_min[:3]),
+                          jnp.asarray(cfg.render.ks_min)])
+    mx = jnp.concatenate([jnp.asarray(cfg.render.kd_max[:3]),
+                          jnp.asarray(cfg.render.ks_max)])
+    tex = MLPTexture3D(cfg.texture, (mn, mx))
+    params = {
+        "geometry": model.init_params(kG, n_images=scene.n_frames),
+        "pose": {k: jnp.asarray(np.asarray(v))
+                 for k, v in scene.pose_params.items()},
+        "material": tex.init(kT),
+        "light": light_mod.create_trainable_env(kL, cfg.render.probe_res),
+    }
+
+    out = {}
+    for stage in args.stages.split(","):
+        sdir = os.path.join(cfg.out_dir, stage)
+        ck = latest_checkpoint(os.path.join(sdir, "ckp"))
+        if ck is None:
+            print(f"[{stage}] no checkpoint, skipping", flush=True)
+            continue
+        # optimizer family matters only for the opt_state pytree shape
+        kind = "split" if stage.startswith("split") else stage
+        state0, _ = init_state(kind, params, cfg)
+        state = load_state(ck, state0)
+        split_mode = stage.startswith("split")
+
+        ious, psnrs = [], []
+        step = max(1, scene.n_frames // args.n_views)
+        for fi in range(0, scene.n_frames, step):
+            t = scene.frame_target(fi)
+            k = jax.random.fold_in(key, 1000 + fi)
+            if split_mode:
+                _, m = validate_split_stage(k, model, state.params, tex, t,
+                                            cfg)
+                ious.append(float(m["mask_iou"]))
+                psnrs.append(float(m["psnr"]))
+            else:
+                _, buf = validate_stage(k, model, state.params, tex, t, cfg,
+                                        return_buffers=True)
+                gt = np.asarray(t["all_img"])
+                pa = np.asarray(buf.shaded[..., 3]) > 0.5
+                ga = gt[..., 3] > 0.5
+                ious.append(
+                    float((pa & ga).sum() / max((pa | ga).sum(), 1)))
+                psnrs.append(float(_psnr(
+                    jnp.asarray(np.asarray(buf.shaded[..., :3])
+                                * gt[..., 3:]),
+                    jnp.asarray(gt[..., :3] * gt[..., 3:]))))
+            print(f"[{stage}] frame {fi}: iou={ious[-1]:.4f} "
+                  f"psnr={psnrs[-1]:.2f}", flush=True)
+        out[stage] = {
+            "checkpoint": os.path.basename(ck),
+            "n_views": len(ious),
+            "iou_mean": round(float(np.mean(ious)), 4),
+            "iou_min": round(float(np.min(ious)), 4),
+            "psnr_mean": round(float(np.mean(psnrs)), 2),
+        }
+        path = os.path.join(cfg.out_dir, "PARITY_MULTIVIEW.json")
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"[{stage}] {out[stage]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
