@@ -1,0 +1,115 @@
+"""Failure-detecting watchdog for long TPU training runs.
+
+Observed failure mode (twice in r3): the axon TPU tunnel's host relay dies
+or its RPC stream wedges; the training process then sleeps forever in a
+futex wait at 0% CPU with a healthy-looking process table — a 4-hour run
+silently loses everything after its last checkpoint. The reference has no
+equivalent (single local GPU), but elastic recovery is a first-class aux
+subsystem for this framework (SURVEY §5): every stage checkpoints its full
+TrainState and ``train_d3h.py --resume`` restarts any stage from the latest
+one, so the watchdog only needs to detect the stall and relaunch.
+
+    python scripts/watchdog_train.py --log /tmp/parity.log \
+        --stale-min 10 -- \
+        python train_d3h.py --config configs/f3c_synth.json --synthetic \
+            --out-dir out/parity --resume
+
+Detection:
+  * log-staleness: no write to --log for --stale-min minutes -> kill+resume;
+  * tunnel-death: TCP connect to the relay port fails -> hold the relaunch
+    (a new process would hang in ``import jax``) and poll until the tunnel
+    returns, then resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+
+
+def tunnel_alive(port: int) -> bool:
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=3):
+            return True
+    except OSError:
+        return False
+
+
+def log_age_s(path: str) -> float:
+    try:
+        return time.time() - os.path.getmtime(path)
+    except OSError:
+        return 0.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--log", required=True, help="training stdout/stderr log")
+    p.add_argument("--stale-min", type=float, default=10.0)
+    p.add_argument("--tunnel-port", type=int, default=8082,
+                   help="axon relay port (0 disables the tunnel check)")
+    p.add_argument("--poll-s", type=float, default=30.0)
+    p.add_argument("--max-restarts", type=int, default=20)
+    p.add_argument("cmd", nargs=argparse.REMAINDER,
+                   help="-- training command (must be resumable)")
+    args = p.parse_args()
+    cmd = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
+    if not cmd:
+        p.error("no training command given after --")
+
+    restarts = 0
+    proc = None
+    logf = None
+    while True:
+        if proc is None:
+            if args.tunnel_port and not tunnel_alive(args.tunnel_port):
+                print(f"[watchdog] tunnel :{args.tunnel_port} down; waiting",
+                      flush=True)
+                time.sleep(args.poll_s)
+                continue
+            if restarts > args.max_restarts:
+                print("[watchdog] restart budget exhausted", flush=True)
+                return 1
+            logf = open(args.log, "ab", buffering=0)
+            proc = subprocess.Popen(cmd, stdout=logf, stderr=logf)
+            print(f"[watchdog] launched pid={proc.pid} (restart {restarts})",
+                  flush=True)
+            restarts += 1
+            time.sleep(args.poll_s)
+            continue
+
+        rc = proc.poll()
+        if rc is not None:
+            logf.close()
+            if rc == 0:
+                print("[watchdog] training exited cleanly", flush=True)
+                return 0
+            print(f"[watchdog] training exited rc={rc}; relaunching",
+                  flush=True)
+            proc = None
+            continue
+
+        stale = log_age_s(args.log) > args.stale_min * 60
+        dead_tunnel = args.tunnel_port and not tunnel_alive(args.tunnel_port)
+        if stale or dead_tunnel:
+            why = "stale log" if stale else "tunnel down"
+            print(f"[watchdog] {why}; killing pid={proc.pid}", flush=True)
+            proc.send_signal(signal.SIGTERM)
+            try:
+                proc.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+            logf.close()
+            proc = None
+            continue
+        time.sleep(args.poll_s)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
