@@ -1,0 +1,102 @@
+"""Disk-cached pretraining (ref hmsdf.py:251-253 parity) and the watchdog's
+detection primitives."""
+
+import os
+import socket
+import subprocess
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _tiny_model(tmp_path):
+    from d3human_tpu.config import Config, GeometryConfig, StageConfig
+    from d3human_tpu.data.synthetic import make_scene
+    from d3human_tpu.models.geometry import GeometryModel
+    from d3human_tpu.ops.tet_grid import make_tet_grid
+
+    cfg = Config(
+        geometry=GeometryConfig(grid_res=8, max_verts=2048, max_tets=2048),
+        stages=StageConfig(sdf_mlp_pretrain_steps=5,
+                           sdf_deform_pretrain_steps=5),
+    )
+    scene = make_scene(resolution=(32, 32), n_frames=2)
+    grid = make_tet_grid(res=8, bounds=((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5)),
+                         y_offset=0.0, scale=1.3)
+    model = GeometryModel(cfg, grid, scene.deformer, scene.canon)
+    return cfg, model
+
+
+def test_cached_sdf_pretrain_roundtrip(tmp_path):
+    from d3human_tpu.train.checkpoint import cached_sdf_pretrain
+
+    cfg, model = _tiny_model(tmp_path)
+    g0 = model.init_params(jax.random.PRNGKey(0), n_images=2)
+    cache = os.path.join(tmp_path, "pre.npz")
+
+    g1, loss = cached_sdf_pretrain(model, g0, 5, cache)
+    assert loss is not None and os.path.exists(cache)
+
+    # second call: loads from cache, sdf_net bit-identical, and the caller's
+    # OTHER freshly-initialized fields are preserved (init re-pretrains after
+    # reinit_fields — the cache must not stomp msdf/deform/cond)
+    g0b = model.init_params(jax.random.PRNGKey(7), n_images=2)
+    g2, loss2 = cached_sdf_pretrain(model, g0b, 5, cache)
+    assert loss2 is None
+    for a, b in zip(jax.tree_util.tree_leaves(g1["sdf_net"]),
+                    jax.tree_util.tree_leaves(g2["sdf_net"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(g2["msdf"]),
+                                  np.asarray(g0b["msdf"]))
+
+
+def test_pretrain_cache_paths_key_on_determinants():
+    import dataclasses
+
+    from d3human_tpu.config import Config
+    from d3human_tpu.train.checkpoint import pretrain_cache_paths
+
+    c1 = Config()
+    p1, n1 = pretrain_cache_paths(c1)
+    c2 = dataclasses.replace(c1, geometry=dataclasses.replace(
+        c1.geometry, grid_res=c1.geometry.grid_res * 2))
+    p2, _ = pretrain_cache_paths(c2)
+    assert p1 != p2
+    c3 = dataclasses.replace(c1, seed=c1.seed + 1)
+    p3, n3 = pretrain_cache_paths(c3)
+    assert p1 != p3 and n1 != n3
+
+
+def test_watchdog_detects_tunnel_and_restarts(tmp_path):
+    """End-to-end: a command that stops writing its log gets killed and
+    relaunched; a clean exit ends the watchdog with rc=0."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from watchdog_train import log_age_s, tunnel_alive
+
+    # tunnel probe: a live local listener reads alive, a closed port dead
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    assert tunnel_alive(port)
+    srv.close()
+    assert not tunnel_alive(port)
+
+    log = tmp_path / "w.log"
+    log.write_text("x")
+    assert log_age_s(str(log)) < 5
+
+    # full loop: the child appends one line then exits 0 -> watchdog rc 0
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    rc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "watchdog_train.py"),
+         "--log", str(log), "--tunnel-port", "0", "--poll-s", "0.2",
+         "--stale-min", "1", "--",
+         sys.executable, "-c", "print('ok')"],
+        timeout=60).returncode
+    assert rc == 0
