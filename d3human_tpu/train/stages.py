@@ -120,6 +120,18 @@ def run_stage(
             # capacity (tests/test_rasterizer.py overflow oracle); past
             # that, coverage loss becomes possible — surface it loudly
             # split stages prefix per-half metrics (body_/cloth_)
+            # absurd-magnitude scalars: every loss term is bounded by
+            # construction (sigmoid'd materials, unit normals, clamped
+            # msdf), so values like 1e16 indicate a corrupted device
+            # readback (seen once ~3 min before an axon tunnel death) or
+            # a real NaN/overflow — either way, say so loudly
+            absurd = {k: v for k, v in scalars.items()
+                      if "loss" in k or k == "total"
+                      if not (abs(v) < 1e9) or v != v}
+            if absurd:
+                print(f"[{stage}] WARNING: absurd loss scalars {absurd} — "
+                      f"suspect corrupted readback or numerical blowup",
+                      flush=True)
             nmt = max((v for k, v in scalars.items()
                        if k.endswith("n_max_tile")), default=0)
             if nmt > 2.5 * 896:
