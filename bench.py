@@ -37,6 +37,38 @@ from d3human_tpu.utils.jax_setup import setup as _setup_jax  # noqa: E402
 _setup_jax()
 
 
+def _preflight_tunnel():
+    """Fail FAST (one JSON line + rc=1) when the axon TPU relay is dead.
+
+    Observed twice in round 3: the tunnel's host relay dies and the next
+    jax backend init blocks forever in a futex wait — a hung bench is far
+    worse for the driver than a clean error. Only probes when the axon
+    platform would actually be selected."""
+    if os.environ.get("D3H_PLATFORM") == "cpu":
+        return
+    import socket
+
+    try:
+        socket.create_connection(("127.0.0.1", 8082), timeout=3).close()
+    except OSError:
+        # No relay: either the tunnel is down or this is a non-axon host.
+        # Distinguish by whether the axon plugin is importable.
+        try:
+            import axon.register  # noqa: F401
+        except Exception:
+            return  # not an axon image; let jax pick its own backend
+        print(json.dumps({
+            "metric": "init_step_iters_per_sec", "value": 0.0,
+            "unit": "iters/s", "vs_baseline": 0.0,
+            "error": "axon TPU tunnel relay (:8082) is dead; "
+                     "bench aborted before backend init to avoid hanging",
+        }))
+        sys.exit(1)
+
+
+_preflight_tunnel()
+
+
 def build(scale: str):
     from d3human_tpu.config import (
         Config, GeometryConfig, RenderConfig, StageConfig, TextureConfig,

@@ -61,6 +61,29 @@ def _point_triangle(p: jnp.ndarray, a, b, c):
     return cand, sq
 
 
+def mesh_sdf_host(points, verts, faces,
+                  sign_convention: str = "neg_inside"):
+    """Host-side (numpy in/out) signed distance. Prefers the native C++
+    engine (native/meshsdf.cpp — exact BVH closest point + pseudonormal
+    sign, the pysdf role) and falls back to the device KNN-pruned op when
+    no toolchain is available. Pipeline mesh surgery should use THIS so it
+    never competes with training for the accelerator."""
+    import numpy as np
+
+    try:
+        from d3human_tpu.native.meshsdf import MeshSDF
+
+        return MeshSDF(np.asarray(verts), np.asarray(faces)).query(
+            np.asarray(points), sign_convention=sign_convention)
+    except Exception:
+        out = jax.jit(
+            lambda p, v, f: mesh_sdf(p, v, f, k=8,
+                                     sign_convention=sign_convention)
+        )(jnp.asarray(points, jnp.float32), jnp.asarray(verts, jnp.float32),
+          jnp.asarray(faces, jnp.int32))
+        return np.asarray(out)
+
+
 def mesh_sdf(points: jnp.ndarray, verts: jnp.ndarray, faces: jnp.ndarray,
              k: int = 8, sign_convention: str = "neg_inside",
              block: int = 131072) -> jnp.ndarray:

@@ -31,7 +31,7 @@ import numpy as np
 
 from d3human_tpu.ops import mesh_ops
 from d3human_tpu.ops.marching_tets import gshell_extract
-from d3human_tpu.ops.mesh_sdf import mesh_sdf
+from d3human_tpu.ops.mesh_sdf import mesh_sdf_host
 from d3human_tpu.ops.tet_grid import make_tet_grid
 from d3human_tpu.utils import io as mesh_io
 
@@ -45,11 +45,12 @@ def rewatertight(verts: np.ndarray, faces: np.ndarray, grid_res: int = 96,
     hi = verts.max(axis=0) + margin
     grid = make_tet_grid(res=grid_res, bounds=(tuple(lo), tuple(hi)),
                          y_offset=0.0, scale=1.0)
-    v = jnp.asarray(verts, jnp.float32)
-    f = jnp.asarray(faces, jnp.int32)
+    # SDF on the host engine, ONCE — it doesn't depend on the capacity
+    # retries below (the old device path recomputed it per retry).
+    sdf = jnp.asarray(mesh_sdf_host(np.asarray(grid.verts), verts, faces,
+                                    sign_convention="pos_inside"))
 
     def extract(mv, mt):
-        sdf = mesh_sdf(grid.verts, v, f, k=8, sign_convention="pos_inside")
         msdf = jnp.ones((grid.n_verts,))
         return gshell_extract(grid, grid.verts, sdf, msdf, mv, mt)
 
@@ -263,10 +264,7 @@ def merge_body_cloth(
     # fallback to distance cover when the cloth is too degenerate to remesh
     try:
         wcv, wcf = rewatertight(cv, cf, grid_res=min(64, grid_res))
-        sd = np.asarray(jax.jit(
-            lambda: mesh_sdf(jnp.asarray(wbv), jnp.asarray(wcv),
-                             jnp.asarray(wcf, jnp.int32), k=8,
-                             sign_convention="pos_inside"))())
+        sd = mesh_sdf_host(wbv, wcv, wcf, sign_convention="pos_inside")
         inside = np.nonzero(sd > 0)[0]
         outside = np.nonzero(sd <= 0)[0]
     except Exception:

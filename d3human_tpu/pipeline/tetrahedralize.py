@@ -14,11 +14,9 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from d3human_tpu.ops.mesh_sdf import mesh_sdf
+from d3human_tpu.ops.mesh_sdf import mesh_sdf_host
 from d3human_tpu.ops.tet_grid import make_tet_grid
 
 
@@ -31,11 +29,8 @@ def tetrahedralize_interior(
     hi = verts.max(axis=0) + margin
     grid = make_tet_grid(res=grid_res, bounds=(tuple(lo), tuple(hi)),
                          y_offset=0.0, scale=1.0)
-    v = jnp.asarray(verts, jnp.float32)
-    f = jnp.asarray(faces, jnp.int32)
-    sdf = np.asarray(jax.jit(
-        lambda p: mesh_sdf(p, v, f, k=8, sign_convention="pos_inside")
-    )(grid.verts))
+    sdf = mesh_sdf_host(np.asarray(grid.verts), verts, faces,
+                        sign_convention="pos_inside")
 
     keep_vert = sdf > -band          # inside or within the band
     tets = np.asarray(grid.tets)
