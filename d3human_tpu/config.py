@@ -84,9 +84,10 @@ class RenderConfig:
     train_res: Tuple[int, int] = (1080, 1080)   # f3c.json
     texture_res: Tuple[int, int] = (1080, 1080)
     spp: int = 1
-    # single-layer rendering only, matching the reference exactly: its
-    # DepthPeeler loop asserts num_layers == 1 (ref render/render.py:402).
-    # Validated (not silently ignored) in load-time __post_init__ below.
+    # depth-peeled layers (ref render/render.py:400-403 dr.DepthPeeler;
+    # the reference default — and its own assert — is 1). layers>1 peels
+    # in ops/rasterizer.py and re-composites shaded back-to-front in
+    # render_mesh_full; training always consumes the nearest layer.
     layers: int = 1
     probe_res: int = 256
     env_scale: float = 2.0
@@ -118,12 +119,13 @@ class RenderConfig:
     init_shading: bool = True
 
     def __post_init__(self):
-        if self.layers != 1:
+        if not (1 <= self.layers <= 4):
             raise ValueError(
-                f"layers={self.layers} is unsupported: the pipeline renders "
-                f"a single depth layer, exactly like the reference (its "
-                f"DepthPeeler loop asserts num_layers == 1, "
-                f"render/render.py:402)")
+                f"layers={self.layers}: depth peeling supports 1-4 layers "
+                f"(ref render/render.py:400-403 dr.DepthPeeler; the "
+                f"reference's own loop asserts num_layers == 1). Training "
+                f"consumes layer 0; extra layers feed the back-to-front "
+                f"composite in render_mesh_full.")
 
 
 @dataclass(frozen=True)

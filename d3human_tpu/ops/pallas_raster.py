@@ -51,6 +51,18 @@ def pack_face_rows(A: jnp.ndarray, C: jnp.ndarray, az, bz, cz,
 
 def _resolve_kernel(rows_ref, out_ref, *, th: int, tw: int, ntx: int,
                     m: int, block: int):
+    _resolve_body(rows_ref, None, out_ref, th=th, tw=tw, ntx=ntx,
+                  m=m, block=block)
+
+
+def _resolve_kernel_peel(rows_ref, floor_ref, out_ref, *, th: int, tw: int,
+                         ntx: int, m: int, block: int):
+    _resolve_body(rows_ref, floor_ref, out_ref, th=th, tw=tw, ntx=ntx,
+                  m=m, block=block)
+
+
+def _resolve_body(rows_ref, floor_ref, out_ref, *, th: int, tw: int,
+                  ntx: int, m: int, block: int):
     t = pl.program_id(0)
     ox = ((t % ntx) * tw).astype(jnp.float32)
     oy = ((t // ntx) * th).astype(jnp.float32)
@@ -60,6 +72,12 @@ def _resolve_kernel(rows_ref, out_ref, *, th: int, tw: int, ntx: int,
     py = (lin // tw).astype(jnp.float32) + 0.5 + oy
     pix = jnp.concatenate([px, py], axis=1)              # [P, 2]
     pxy1 = jnp.concatenate([px, py, jnp.ones_like(px)], axis=1)   # [P, 3]
+
+    # depth peeling: only keys STRICTLY greater than the previous layer's
+    # packed key compete — the packed (zq | slot) order is total, so this
+    # enumerates each pixel's covering faces near-to-far across calls.
+    floor = (floor_ref[0].reshape(th * tw, 1) if floor_ref is not None
+             else None)
 
     nb = m // block
 
@@ -88,6 +106,8 @@ def _resolve_kernel(rows_ref, out_ref, *, th: int, tw: int, ntx: int,
         slot = jax.lax.broadcasted_iota(jnp.int32, (P, block), 1) + b * block
         key = (zq << SLOT_BITS) | slot
         key = jnp.where(hit, key, MISS_KEY)
+        if floor is not None:
+            key = jnp.where(key > floor, key, MISS_KEY)
         return jnp.minimum(best, jnp.min(key, axis=1, keepdims=True))
 
     best = jnp.full((P, 1), MISS_KEY, jnp.int32)
@@ -101,27 +121,42 @@ def resolve_tiles_pallas(
     ntx: int,
     block: int = 128,
     interpret: bool = False,
+    floor: jnp.ndarray = None,  # [NT, th*tw] prev layer's keys (peeling)
 ) -> jnp.ndarray:
-    """Returns packed keys [NT, th*tw] int32 (MISS_KEY = background)."""
+    """Returns packed keys [NT, th*tw] int32 (MISS_KEY = background).
+
+    With ``floor`` (a previous call's output) only strictly-greater keys
+    compete — one depth-peel step (ref render/render.py:400-403
+    dr.DepthPeeler.rasterize_next_layer). The layers==1 hot path compiles
+    the floor-free kernel, unchanged."""
     NT, M, _ = tile_rows.shape
     th, tw = tile
     assert M % block == 0
     assert M <= (1 << SLOT_BITS), "slot field supports <= 1024 faces/tile"
 
-    kernel = functools.partial(_resolve_kernel, th=th, tw=tw, ntx=ntx,
-                               m=M, block=block)
+    in_specs = [
+        pl.BlockSpec((1, M, ROW_W), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = (tile_rows,)
+    if floor is None:
+        kernel = functools.partial(_resolve_kernel, th=th, tw=tw, ntx=ntx,
+                                   m=M, block=block)
+    else:
+        kernel = functools.partial(_resolve_kernel_peel, th=th, tw=tw,
+                                   ntx=ntx, m=M, block=block)
+        in_specs.append(pl.BlockSpec((1, th * tw), lambda t: (t, 0),
+                                     memory_space=pltpu.VMEM))
+        operands = (tile_rows, floor)
     out = pl.pallas_call(
         kernel,
         grid=(NT,),
-        in_specs=[
-            pl.BlockSpec((1, M, ROW_W), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, th * tw), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NT, 1, th * tw), jnp.int32),
         interpret=interpret,
-    )(tile_rows)
+    )(*operands)
     return out[:, 0, :]
 
 

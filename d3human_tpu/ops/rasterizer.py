@@ -110,11 +110,16 @@ def _z_plane(pix_xy: jnp.ndarray, z: jnp.ndarray):
 
 
 def _resolve_tile(pix: jnp.ndarray, face_ids: jnp.ndarray, A, C, az, bz, cz,
-                  live: jnp.ndarray, block: int = 128):
+                  live: jnp.ndarray, block: int = 128,
+                  floor_z: Optional[jnp.ndarray] = None,
+                  floor_id: Optional[jnp.ndarray] = None):
     """Z-buffer resolve of one pixel set against one face list.
 
     pix: [P, 2] pixel centers. face_ids: [M] global ids (for output).
     A [M,3,2], C [M,3], (az,bz,cz) [M], live [M].
+    floor_z/floor_id [P]: depth peeling — only candidates strictly after
+    (floor_z, floor_id) in (z, id+1) lexicographic order compete, so
+    repeated calls enumerate each pixel's covering faces near-to-far.
     Returns (best_id [P] int32 (0=miss), best_z [P]).
     """
     P = pix.shape[0]
@@ -139,6 +144,11 @@ def _resolve_tile(pix: jnp.ndarray, face_ids: jnp.ndarray, A, C, az, bz, cz,
         inside = (jnp.all(E >= 0, axis=-1) | jnp.all(E <= 0, axis=-1))
         z = pix[:, 0:1] * azb[None] + pix[:, 1:2] * bzb[None] + czb[None]
         z = jnp.where(inside & liveb[None], z, BG_SENTINEL_Z)
+        if floor_z is not None:
+            after = ((z > floor_z[:, None])
+                     | ((z == floor_z[:, None])
+                        & (idb[None, :] + 1 > floor_id[:, None])))
+            z = jnp.where(after, z, BG_SENTINEL_Z)
         zmin = jnp.min(z, axis=1)
         arg = jnp.argmin(z, axis=1)
         cand_id = idb[arg] + 1
@@ -166,12 +176,19 @@ def rasterize(
     # slots keep the unified per-tile face list at 640 rows instead of 1024
     max_global: int = 128,
     backend: str = "auto",        # 'auto' | 'xla' | 'pallas'
+    layers: int = 1,
 ) -> Rast:
     """Tile-binned z-buffer rasterization (hard visibility, no gradients).
 
     backend='pallas' resolves tiles with the VMEM-resident Pallas kernel
     (ops/pallas_raster.py); 'xla' uses the lax.map path; 'auto' picks
-    pallas on TPU."""
+    pallas on TPU.
+
+    layers>1 depth-peels (ref render/render.py:400-403 dr.DepthPeeler):
+    layer k+1 is each pixel's nearest covering face strictly behind layer
+    k's. Setup/binning runs once; only the per-tile resolve repeats, with
+    the previous layer as the depth floor. Returns a tuple of Rast
+    (near-to-far) when layers > 1, a single Rast otherwise."""
     verts_clip = jax.lax.stop_gradient(verts_clip)
     H, W = resolution
     th, tw = tile
@@ -286,13 +303,16 @@ def rasterize(
         rows = jnp.concatenate(
             [rows, jnp.zeros((1, rows.shape[1]), rows.dtype)], axis=0)
         tile_rows = rows[all_faces]                          # [NT, M, 16]
-        keys = resolve_tiles_pallas(
-            tile_rows, tile, ntx,
-            interpret=(backend == "pallas_interpret"))
-        ids, zs = unpack_keys(keys, jnp.minimum(all_faces, F - 1))
-        # sentinel slots are never hit, but keep ids well-defined anyway
-        ids = ids.reshape(NT, th, tw)
-        zs = zs.reshape(NT, th, tw)
+        per_layer = []
+        keys = None
+        for _ in range(layers):
+            keys = resolve_tiles_pallas(
+                tile_rows, tile, ntx,
+                interpret=(backend == "pallas_interpret"), floor=keys)
+            ids, zs = unpack_keys(keys, jnp.minimum(all_faces, F - 1))
+            # sentinel slots are never hit, but keep ids well-defined anyway
+            per_layer.append((ids.reshape(NT, th, tw),
+                              zs.reshape(NT, th, tw)))
     else:
         ii = jnp.arange(th, dtype=jnp.float32)
         jj = jnp.arange(tw, dtype=jnp.float32)
@@ -300,37 +320,57 @@ def rasterize(
             jnp.meshgrid(jj + 0.5, ii + 0.5, indexing="xy"), axis=-1
         ).reshape(-1, 2)  # [th*tw, 2] as (x, y)
 
-        def do_tile(t):
-            tyx = jnp.stack([(t % ntx) * tw, (t // ntx) * th]).astype(
-                jnp.float32)
-            pix = base_pix + tyx[None, :]
-            fids = tile_faces[t]
-            fl = tile_live[t]
-            idt, zt = _resolve_tile(
-                pix, fids, A[fids], C[fids], az[fids], bz[fids], cz[fids], fl)
-            idg, zg = _resolve_tile(
-                pix, big_idx_c, A[big_idx_c], C[big_idx_c],
-                az[big_idx_c], bz[big_idx_c], cz[big_idx_c], big_ok)
-            better = zg < zt
-            return jnp.where(better, idg, idt), jnp.where(better, zg, zt)
+        def make_do_tile(floor_ids, floor_zs):
+            def do_tile(t):
+                tyx = jnp.stack([(t % ntx) * tw, (t // ntx) * th]).astype(
+                    jnp.float32)
+                pix = base_pix + tyx[None, :]
+                fids = tile_faces[t]
+                fl = tile_live[t]
+                fz = None if floor_zs is None else floor_zs[t].reshape(-1)
+                fi = None if floor_ids is None else floor_ids[t].reshape(-1)
+                idt, zt = _resolve_tile(
+                    pix, fids, A[fids], C[fids], az[fids], bz[fids],
+                    cz[fids], fl, floor_z=fz, floor_id=fi)
+                idg, zg = _resolve_tile(
+                    pix, big_idx_c, A[big_idx_c], C[big_idx_c],
+                    az[big_idx_c], bz[big_idx_c], cz[big_idx_c], big_ok,
+                    floor_z=fz, floor_id=fi)
+                # merge by (z, id): a face lives in either the tile or the
+                # global list, so equal-z merges only tie across DIFFERENT
+                # faces; pick the lexicographically smaller id for a total
+                # order consistent with the peel floor.
+                better = (zg < zt) | ((zg == zt) & (idg < idt))
+                return jnp.where(better, idg, idt), jnp.where(better, zg, zt)
+            return do_tile
 
-        ids, zs = jax.lax.map(do_tile, jnp.arange(NT, dtype=jnp.int32),
-                              batch_size=min(NT, 32))
-        ids = ids.reshape(NT, th, tw)
-        zs = zs.reshape(NT, th, tw)
+        per_layer = []
+        fids_prev = fzs_prev = None
+        for _ in range(layers):
+            ids, zs = jax.lax.map(make_do_tile(fids_prev, fzs_prev),
+                                  jnp.arange(NT, dtype=jnp.int32),
+                                  batch_size=min(NT, 32))
+            per_layer.append((ids.reshape(NT, th, tw),
+                              zs.reshape(NT, th, tw)))
+            fids_prev, fzs_prev = per_layer[-1]
 
-    ids = ids.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3).reshape(
-        nty * th, ntx * tw)[:H, :W]
-    zs = zs.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3).reshape(
-        nty * th, ntx * tw)[:H, :W]
-    return Rast(tri_id=ids, zbuf=zs,
-                n_max_tile=jnp.max(starts[1:] - starts[:-1]),
-                n_big=jnp.sum(big))
+    def untile(x):
+        return x.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3).reshape(
+            nty * th, ntx * tw)[:H, :W]
+
+    n_max_tile = jnp.max(starts[1:] - starts[:-1])
+    n_big_ = jnp.sum(big)
+    rasts = tuple(Rast(tri_id=untile(ids), zbuf=untile(zs),
+                       n_max_tile=n_max_tile, n_big=n_big_)
+                  for ids, zs in per_layer)
+    return rasts[0] if layers == 1 else rasts
 
 
-def rasterize_bruteforce(verts_clip, faces, face_valid, resolution) -> Rast:
+def rasterize_bruteforce(verts_clip, faces, face_valid, resolution,
+                         layers: int = 1) -> Rast:
     """Oracle rasterizer: every pixel tests every face. For tests/small
-    scenes (the reference's use_python= pattern, ref renderutils/ops.py)."""
+    scenes (the reference's use_python= pattern, ref renderutils/ops.py).
+    layers>1 depth-peels like ``rasterize`` (tuple of Rast, near-to-far)."""
     verts_clip = jax.lax.stop_gradient(verts_clip)
     H, W = resolution
     tri, ok_w = _face_setup(verts_clip, faces)
@@ -346,9 +386,14 @@ def rasterize_bruteforce(verts_clip, faces, face_valid, resolution) -> Rast:
 
     jjj, iii = jnp.meshgrid(jnp.arange(W) + 0.5, jnp.arange(H) + 0.5)
     pix = jnp.stack([jjj.reshape(-1), iii.reshape(-1)], axis=-1)
-    ids, zs = _resolve_tile(pix, jnp.arange(faces.shape[0], dtype=jnp.int32),
-                            A, C, az, bz, cz, live)
-    return Rast(tri_id=ids.reshape(H, W), zbuf=zs.reshape(H, W))
+    all_ids = jnp.arange(faces.shape[0], dtype=jnp.int32)
+    out, fz, fi = [], None, None
+    for _ in range(layers):
+        ids, zs = _resolve_tile(pix, all_ids, A, C, az, bz, cz, live,
+                                floor_z=fz, floor_id=fi)
+        out.append(Rast(tri_id=ids.reshape(H, W), zbuf=zs.reshape(H, W)))
+        fz, fi = zs, ids
+    return out[0] if layers == 1 else tuple(out)
 
 
 # ---------------------------------------------------------------------------

@@ -111,9 +111,11 @@ def render_mesh(
     aa_z_thresh: float = 0.01,
     jitter_subsample: int = 2,
     shade: bool = True,
+    layers: int = 1,
 ) -> MeshBuffers:
     """Dispatch: the compacted training path (default where it applies) or
-    the full-image reference path (validation / spp>1 / pbr / oracle).
+    the full-image reference path (validation / spp>1 / pbr / oracle /
+    layers>1 depth peeling).
 
     ``shade=False`` skips every texture/material lookup and returns zero
     kd/ks/color channels (alpha, normals, msdf unchanged). The init stage's
@@ -122,7 +124,8 @@ def render_mesh(
     the hot loop without touching any gradient."""
     if compact is None:
         compact = (spp == 1 and bsdf == "kd" and not use_bruteforce_raster
-                   and not aa_all_buffers and 0 < max_covered_frac < 1)
+                   and not aa_all_buffers and 0 < max_covered_frac < 1
+                   and layers == 1)
     if compact:
         return render_mesh_compact(
             key, verts, verts_original, faces, face_valid, mvp, campos,
@@ -140,7 +143,7 @@ def render_mesh(
         max_covered_frac=max_covered_frac, aa_all_buffers=aa_all_buffers,
         bsdf=bsdf, light_params=light_params,
         n_light_samples=n_light_samples, shadow_scale=shadow_scale,
-        sdf_fn=sdf_fn)
+        sdf_fn=sdf_fn, layers=layers)
 
 
 def render_mesh_compact(
@@ -355,14 +358,24 @@ def render_mesh_full(
     shadow_scale: float = 1.0,
     sdf_fn=None,
     shade: bool = True,
+    layers: int = 1,
 ) -> MeshBuffers:
     H, W = resolution
     full_res = (H * spp, W * spp)
 
     v_clip = xfm_points(verts, mvp)
     raster = rasterize_bruteforce if use_bruteforce_raster else rasterize
-    rast = raster(v_clip, faces, face_valid, full_res,
+    rast = raster(v_clip, faces, face_valid, full_res, layers=layers,
                   **(raster_opts or {} if not use_bruteforce_raster else {}))
+    # layers>1 depth-peels (ref render/render.py:400-403 DepthPeeler); all
+    # per-pixel buffers come from the NEAREST layer, and the shaded buffer
+    # is re-composited back-to-front across layers below (ref :375-383
+    # composite_buffer). With opaque geometry (alpha == coverage) the
+    # layered composite equals the single-layer one away from the
+    # silhouette rim, where per-layer AA spills farther layers' color into
+    # rim pixels (reference semantics) — asserted in tests.
+    rast_layers = rast if layers > 1 else (rast,)
+    rast = rast_layers[0]
     bary, cover = barycentrics(v_clip, faces, rast, full_res)
     mask = cover[..., None].astype(jnp.float32)
 
@@ -491,6 +504,36 @@ def render_mesh_full(
         diffuse_l = specular_l = jnp.zeros_like(kd)
 
     shaded = comp(shaded_col, background)
+    if layers > 1:
+        # back-to-front lerp + per-layer AA, exactly the reference's
+        # composite_buffer loop (render/render.py:375-383). Far layers are
+        # painted first; each nearer layer lerps over the accumulator by
+        # its own coverage, then antialiases against its own silhouette.
+        ones1 = jnp.ones_like(alpha)
+        accum = jnp.concatenate(
+            [background, jnp.zeros_like(alpha)], axis=-1)
+        for rl in reversed(rast_layers):
+            bary_l, cover_l = barycentrics(v_clip, faces, rl, full_res)
+            alpha_l = cover_l[..., None].astype(jnp.float32)
+            if bsdf == "normal":
+                n_l = interpolate(v_nrm, bary_l, faces, rl)
+                pos_l = interpolate(verts, bary_l, faces, rl)
+                gn_l = interpolate_face_attr(fn, rl)
+                flip_l = jnp.sum(
+                    gn_l * (campos[None, None, :] - pos_l),
+                    axis=-1, keepdims=True) < 0
+                col_l = (mesh_ops.safe_normalize(
+                    jnp.where(flip_l, -n_l, n_l)) + 1.0) * 0.5
+            elif shade:
+                pos_orig_l = interpolate(verts_original, bary_l, faces, rl)
+                col_l = tex_module.sample(tex_params, pos_orig_l)[..., 0:3]
+            else:
+                col_l = jnp.zeros((*full_res, 3))
+            layer_rgba = jnp.concatenate([col_l, ones1], axis=-1)
+            accum = accum + (layer_rgba - accum) * alpha_l
+            accum = apply_aa(accum,
+                             aa_weights(v_clip, faces, rl, full_res))
+        shaded = accum
     geo_n = comp(gb_geo_normal, zero3)
     nrm = comp(gb_normal_ts, zero3, aa=aa_all_buffers)
     kd_b = comp(kd, zero3, aa=aa_all_buffers)

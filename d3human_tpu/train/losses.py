@@ -110,6 +110,7 @@ def render_stage_mesh(key, model: GeometryModel, params, pose_params,
         jitter_subsample=cfg.render.jitter_subsample,
         compact=compact,
         shade=shade,
+        layers=cfg.render.layers,
     )
     return meshes, buffers
 

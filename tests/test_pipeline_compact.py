@@ -163,3 +163,54 @@ def test_compact_capacity_counters():
     assert int(st["n_cov"]) <= int(st["cov_capacity"])
     assert int(st["aa_pairs_x"]) > 0
     assert int(comp.rast.n_max_tile) >= 1
+
+
+def test_layered_composite_matches_single_layer():
+    """Depth peeling with OPAQUE geometry (per-layer alpha == coverage == 1):
+    every nearer layer fully overwrites the farther ones, so the composites
+    agree everywhere EXCEPT silhouette-rim pixels, where the reference
+    semantics (ref render/render.py:375-383 composite_buffer) antialias
+    each layer in turn — the far layer's AA legitimately spills its color
+    into uncovered rim pixels before the near layer composites over it.
+    Also checks the peel actually produced a second surface (the sphere's
+    back hemisphere)."""
+    from d3human_tpu.render.camera import look_at, perspective
+    from d3human_tpu.ops.rasterizer import rasterize_bruteforce
+
+    verts, faces = sphere_mesh()
+    mv = look_at(eye=(0.0, 0.0, 2.0), center=(0.0, 0.0, 0.0))
+    proj = perspective(fovy=1.0, aspect=1.0)
+    mvp = jnp.asarray(proj @ mv)
+    campos = jnp.asarray(np.linalg.inv(mv)[:3, 3])
+    fv = jnp.ones((faces.shape[0],), bool)
+    res = (64, 64)
+    kw = dict(
+        verts=verts, verts_original=verts * 0.9, faces=faces, face_valid=fv,
+        mvp=mvp, campos=campos, resolution=res, tex_module=IdentityTex(),
+        tex_params=None, background=jnp.full((*res, 3), 0.25),
+        max_covered_frac=0.0, use_bruteforce_raster=True,
+    )
+    key = jax.random.PRNGKey(0)
+    one = jax.jit(lambda: render_mesh_full(key, layers=1, **kw))()
+    two = jax.jit(lambda: render_mesh_full(key, layers=2, **kw))()
+    d = np.abs(np.asarray(two.shaded) - np.asarray(one.shaded)).max(-1)
+    # differences confined to the AA rim (a thin silhouette band), bounded
+    # by the per-pair blend magnitude
+    assert (d > 1e-5).mean() < 0.02, f"{(d > 1e-5).mean():.3f} px differ"
+    assert d.max() <= 0.5 + 1e-6
+    # interior (non-rim): exact
+    alpha1 = np.asarray(one.shaded[..., 3])
+    interior = (alpha1 == 1.0)
+    assert interior.sum() > 100
+    assert d[interior].max() < 1e-5
+    # non-shaded buffers always come from the nearest layer
+    np.testing.assert_allclose(np.asarray(two.normal),
+                               np.asarray(one.normal), atol=1e-6)
+    # the second layer exists: peeling a closed sphere exposes back faces
+    from d3human_tpu.ops.rasterizer import xfm_points
+    v_clip = xfm_points(verts, mvp)
+    l0, l1 = rasterize_bruteforce(v_clip, faces, fv, res, layers=2)
+    cov0 = np.asarray(l0.tri_id) > 0
+    cov1 = np.asarray(l1.tri_id) > 0
+    assert cov1.sum() > 0.8 * cov0.sum()
+    assert (np.asarray(l1.zbuf)[cov1] >= np.asarray(l0.zbuf)[cov1]).all()

@@ -264,3 +264,78 @@ def test_tile_overflow_matches_bruteforce():
     bad = int((diff & (np.abs(z_a - z_b) > 4 * zq_step)).sum())
     assert bad == 0, (
         f"{bad} pixels picked a wrong surface (n_max_tile={n_max_tile})")
+
+
+# ---------------------------------------------------------------------------
+# Depth peeling (ref render/render.py:400-403 dr.DepthPeeler): layer k+1 is
+# each pixel's nearest covering face strictly behind layer k's.
+# ---------------------------------------------------------------------------
+
+def _two_plane_scene():
+    """Two coincident-in-xy triangles at z=0.5 (far, face 1) and z=0.2
+    (near, face 2)."""
+    verts = jnp.array([
+        [-0.8, -0.8, 0.5, 1.0], [0.8, -0.8, 0.5, 1.0], [0.0, 0.8, 0.5, 1.0],
+        [-0.8, -0.8, 0.2, 1.0], [0.8, -0.8, 0.2, 1.0], [0.0, 0.8, 0.2, 1.0],
+    ])
+    faces = jnp.array([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    return verts, faces, jnp.ones((2,), bool)
+
+
+def test_depth_peel_bruteforce_layers():
+    verts, faces, fv = _two_plane_scene()
+    l0, l1, l2 = jax.jit(
+        lambda v: rasterize_bruteforce(v, faces, fv, RES, layers=3))(verts)
+    cov = np.asarray(l0.tri_id) > 0
+    assert cov.any()
+    # nearest layer: the near triangle everywhere covered
+    assert (np.asarray(l0.tri_id)[cov] == 2).all()
+    # second layer: the far triangle, exactly the same footprint
+    np.testing.assert_array_equal(np.asarray(l1.tri_id) > 0, cov)
+    assert (np.asarray(l1.tri_id)[cov] == 1).all()
+    assert np.asarray(l1.zbuf)[cov].max() > np.asarray(l0.zbuf)[cov].max()
+    # third layer: nothing left
+    assert (np.asarray(l2.tri_id) == 0).all()
+
+
+def test_depth_peel_binned_matches_bruteforce():
+    key = jax.random.PRNGKey(7)
+    V, F = 60, 40
+    verts3 = jax.random.uniform(key, (V, 3), minval=-0.9, maxval=0.9)
+    verts = jnp.concatenate(
+        [verts3[:, :2], verts3[:, 2:3] * 0.5 + 0.6, jnp.ones((V, 1))], axis=1)
+    faces = jax.random.randint(jax.random.PRNGKey(8), (F, 3), 0, V)
+    fv = jnp.ones((F,), bool)
+
+    bf = jax.jit(lambda v: rasterize_bruteforce(v, faces, fv, RES,
+                                                layers=3))(verts)
+    bn = jax.jit(lambda v: rasterize(
+        v, faces, fv, RES, tile=(8, 32), max_faces_per_tile=64,
+        bin_expand=8, max_global=64, backend="xla", layers=3))(verts)
+    for l, (a, b) in enumerate(zip(bf, bn)):
+        np.testing.assert_array_equal(
+            np.asarray(a.tri_id), np.asarray(b.tri_id),
+            err_msg=f"layer {l} ids differ")
+
+
+def test_depth_peel_pallas_interpret_matches():
+    """Pallas peel (packed-key floor) == oracle per layer, modulo
+    z-quantization ties, same tolerance as the single-layer kernel test."""
+    key = jax.random.PRNGKey(3)
+    V, F = 48, 30
+    verts3 = jax.random.uniform(key, (V, 3), minval=-0.9, maxval=0.9)
+    verts = jnp.concatenate(
+        [verts3[:, :2], verts3[:, 2:3] * 0.5 + 0.6, jnp.ones((V, 1))], axis=1)
+    faces = jax.random.randint(jax.random.PRNGKey(4), (F, 3), 0, V)
+    fv = jnp.ones((F,), bool)
+
+    bf = jax.jit(lambda v: rasterize_bruteforce(v, faces, fv, RES,
+                                                layers=2))(verts)
+    pl_ = jax.jit(lambda v: rasterize(
+        v, faces, fv, RES, tile=(8, 32), max_faces_per_tile=64,
+        bin_expand=8, max_global=64, backend="pallas_interpret",
+        layers=2))(verts)
+    for l, (a, b) in enumerate(zip(bf, pl_)):
+        ia, ib = np.asarray(a.tri_id), np.asarray(b.tri_id)
+        assert ((ia > 0) == (ib > 0)).all(), f"layer {l} coverage differs"
+        assert (ia == ib).mean() > 0.99, f"layer {l} winners diverge"
