@@ -5,11 +5,14 @@ the mesh with xatlas and bakes via render_uv — but that code is DEAD in the
 reference's main flow (never called from the stage drivers). This CLI makes
 the capability live under the zero-dependency constraint:
 
-  * --atlas grid   (default) chart-per-face atlas: each triangle gets its
-    own right-triangle cell in a sqrt(F) x sqrt(F) grid. Valid, watertight
-    in UV space, zero seams-optimization — honest deviation from xatlas
-    (which minimizes charts/stretch). Fine for baking (every texel maps to
-    exactly one surface point); not intended for hand-painting.
+  * --atlas lscm   (default) real parametrization, xatlas-equivalent:
+    normal-similarity chart growing -> per-chart LSCM (least-squares
+    conformal maps, the algorithm family xatlas descends from) ->
+    uniform-texel-density shelf packing (pipeline/uv_unwrap.py).
+  * --atlas grid   chart-per-face fallback: each triangle gets its own
+    right-triangle cell in a sqrt(F) x sqrt(F) grid. Valid, watertight in
+    UV space, zero seams-optimization. Fine for baking (every texel maps
+    to exactly one surface point); not for hand-painting.
   * xatlas itself is NOT available in this image; if installed, pass
     --atlas xatlas to use it (optional import).
 
@@ -79,7 +82,8 @@ def main():
     ap.add_argument("--mesh", required=True, help="OBJ to bake onto "
                     "(template/canonical positions = texture coords)")
     ap.add_argument("--res", type=int, default=2048)
-    ap.add_argument("--atlas", choices=("grid", "xatlas"), default="grid")
+    ap.add_argument("--atlas", choices=("lscm", "grid", "xatlas"),
+                    default="lscm")
     ap.add_argument("--out", required=True)
     ap.add_argument("--config", default=None)
     args = ap.parse_args()
@@ -99,6 +103,11 @@ def main():
     if args.atlas == "grid":
         v_tex, t_tex_idx = grid_atlas(len(faces))
         t_pos_idx = faces
+    elif args.atlas == "lscm":
+        from d3human_tpu.pipeline.uv_unwrap import unwrap
+        v_tex, t_tex_idx, chart = unwrap(verts, faces)
+        t_pos_idx = faces
+        print(f"[bake] lscm atlas: {int(chart.max()) + 1} charts", flush=True)
     else:
         uvs, t_tex_idx, vmapping = xatlas_atlas(verts, faces)
         v_tex, t_pos_idx = uvs, t_tex_idx
