@@ -37,6 +37,20 @@ from d3human_tpu.utils.jax_setup import setup as _setup_jax  # noqa: E402
 _setup_jax()
 
 
+def _reap_training_stack():
+    """One-TPU-process rule: if an unattended training stack (watchdog +
+    trainer + job queue, scripts/watchdog_train.py / tpu_queue.sh) is live
+    when the bench starts, two TPU clients would contend and wedge the RPC
+    stream (PERF.md incident log) — and a wedged bench is the single worst
+    outcome for a round. Kill the stack via its OWN pid files (never by
+    process-name pattern); training resumes from stage checkpoints later."""
+    if os.environ.get("D3H_PLATFORM") == "cpu":
+        return
+    from d3human_tpu.utils.run_guard import reap_training_stack
+
+    reap_training_stack()
+
+
 def _preflight_tunnel():
     """Fail FAST (one JSON line + rc=1) when the axon TPU relay is dead.
 
@@ -66,6 +80,7 @@ def _preflight_tunnel():
         sys.exit(1)
 
 
+_reap_training_stack()
 _preflight_tunnel()
 
 

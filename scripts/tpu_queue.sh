@@ -2,9 +2,36 @@
 # Unattended TPU job queue for round 3 (one-TPU-process rule):
 # wait for the parity watchdog to exit, then run the backbone quality A/B
 # and the bench variants, logging to /tmp. Safe to start while the tunnel
-# is down — everything downstream only fires after parity completes.
+# is down — everything downstream only fires after parity completes, and
+# every TPU job (a) waits for the relay port to be live (a client launched
+# against a dead tunnel hangs forever in import jax) and (b) records its
+# pid in /tmp/tpu_job.pid so the round driver's bench can reap it
+# (bench.py:_reap_training_stack) instead of wedging on a shared TPU.
 set -u
 cd "$(dirname "$0")/.."
+
+tunnel_wait() {
+    until python - <<'EOF'
+import socket, sys
+try:
+    socket.create_connection(("127.0.0.1", 8082), 3).close()
+    sys.exit(0)
+except OSError:
+    sys.exit(1)
+EOF
+    do
+        echo "[queue] tunnel down; holding next TPU job"
+        sleep 60
+    done
+}
+
+tpu_job() {           # tpu_job <stdout-file> <stderr-file> cmd...
+    local out="$1" err="$2"; shift 2
+    tunnel_wait
+    "$@" > "$out" 2> "$err" &
+    echo $! > /tmp/tpu_job.pid
+    wait $! || echo "[queue] job '$*' exited rc=$?"
+}
 
 echo "[queue] waiting for watchdog (parity run) to finish"
 while kill -0 "$(cat /tmp/watchdog.pid 2>/dev/null)" 2>/dev/null; do
@@ -18,19 +45,21 @@ if [ -f out/parity_r03d/PARITY.json ]; then
 fi
 
 echo "[queue] backbone quality A/B (conv/pyramid/none/bf16 at the stable config)"
-python scripts/ab_init_arms.py --iters 600 --arms conv,pyramid,none,bf16 \
-    --n-frames 64 --shuffle --out AB_BACKBONE.json \
-    > /tmp/ab_backbone.log 2>&1
+tpu_job /tmp/ab_backbone.log /tmp/ab_backbone.err \
+    python scripts/ab_init_arms.py --iters 600 --arms conv,pyramid,none,bf16 \
+    --n-frames 64 --shuffle --out AB_BACKBONE.json
 
 echo "[queue] bench variants"
-python bench.py > /tmp/bench_full.json 2>/tmp/bench_full.log
-BENCH_SHADING=off python bench.py \
-    > /tmp/bench_noshade.json 2>/tmp/bench_noshade.log
-D3H_PRNG=rbg python bench.py \
-    > /tmp/bench_rbg.json 2>/tmp/bench_rbg.log
-D3H_PRNG=rbg BENCH_SHADING=off python bench.py \
-    > /tmp/bench_rbg_noshade.json 2>/tmp/bench_rbg_noshade.log
-BENCH_SCALE=seq python bench.py > /tmp/bench_seq.json 2>/tmp/bench_seq.log
+tpu_job /tmp/bench_full.json    /tmp/bench_full.log    \
+    env python bench.py
+tpu_job /tmp/bench_noshade.json /tmp/bench_noshade.log \
+    env BENCH_SHADING=off python bench.py
+tpu_job /tmp/bench_rbg.json     /tmp/bench_rbg.log     \
+    env D3H_PRNG=rbg python bench.py
+tpu_job /tmp/bench_rbg_noshade.json /tmp/bench_rbg_noshade.log \
+    env D3H_PRNG=rbg BENCH_SHADING=off python bench.py
+tpu_job /tmp/bench_seq.json     /tmp/bench_seq.log     \
+    env BENCH_SCALE=seq python bench.py
 
 # ---- CPU-only follow-ups (safe: every TPU job above has exited) ----------
 echo "[queue] multi-view rescore of the finished stages (CPU)"
@@ -45,7 +74,6 @@ cp -f out/parity_r03d/PARITY_MULTIVIEW.json PARITY_MULTIVIEW_r03.json \
 for f in bench_full bench_noshade bench_rbg bench_rbg_noshade bench_seq; do
     [ -s /tmp/$f.json ] && cp -f /tmp/$f.json BENCH_VARIANTS_$f.json
 done
-[ -s AB_BACKBONE.json ] || true
 git add -A PARITY_r03.json PARITY_MULTIVIEW_r03.json AB_BACKBONE.json \
     BENCH_VARIANTS_*.json 2>/dev/null
 git commit -q -m "Round-3 unattended evidence: full 4-stage parity, multi-view rescore, backbone A/B, bench variants" \

@@ -55,6 +55,10 @@ def main():
                    help="axon relay port (0 disables the tunnel check)")
     p.add_argument("--poll-s", type=float, default=30.0)
     p.add_argument("--max-restarts", type=int, default=20)
+    p.add_argument("--child-pid-file", default="/tmp/watchdog_child.pid",
+                   help="records the live training child's pid so the "
+                        "one-TPU-process reap (utils/run_guard.py) can "
+                        "sweep stragglers")
     p.add_argument("cmd", nargs=argparse.REMAINDER,
                    help="-- training command (must be resumable)")
     args = p.parse_args()
@@ -65,6 +69,31 @@ def main():
     restarts = 0
     proc = None
     logf = None
+
+    # The round driver's bench must be the only TPU client while it runs:
+    # it SIGTERMs this watchdog via /tmp/watchdog.pid. Kill the child too
+    # (training resumes from its stage checkpoint next launch) instead of
+    # orphaning a live TPU process that would wedge the bench.
+    def _terminate(signum, frame):
+        if proc is not None and proc.poll() is None:
+            print(f"[watchdog] SIGTERM: killing child pid={proc.pid}",
+                  flush=True)
+            proc.send_signal(signal.SIGTERM)
+            try:
+                proc.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+        _clear_child_pid()
+        sys.exit(2)
+
+    def _clear_child_pid():
+        try:
+            os.remove(args.child_pid_file)
+        except OSError:
+            pass
+
+    signal.signal(signal.SIGTERM, _terminate)
+
     while True:
         if proc is None:
             if args.tunnel_port and not tunnel_alive(args.tunnel_port):
@@ -77,6 +106,8 @@ def main():
                 return 1
             logf = open(args.log, "ab", buffering=0)
             proc = subprocess.Popen(cmd, stdout=logf, stderr=logf)
+            with open(args.child_pid_file, "w") as pf:
+                pf.write(str(proc.pid))
             print(f"[watchdog] launched pid={proc.pid} (restart {restarts})",
                   flush=True)
             restarts += 1
@@ -86,6 +117,7 @@ def main():
         rc = proc.poll()
         if rc is not None:
             logf.close()
+            _clear_child_pid()
             if rc == 0:
                 print("[watchdog] training exited cleanly", flush=True)
                 return 0

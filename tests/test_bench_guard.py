@@ -66,3 +66,37 @@ def test_bench_imports_and_builders_importable():
                     continue
                 # `from pkg import submodule` resolves via the import system
                 importlib.import_module(f"{node.module}.{alias.name}")
+
+
+def test_reap_training_stack(tmp_path):
+    """The one-TPU-process reap: live pids from the stack's pid files get
+    SIGTERM'd; this process, its parent, dead pids and garbage files are
+    skipped (bench.py calls this before its first TPU use)."""
+    import subprocess
+    import time as _t
+
+    from d3human_tpu.utils.run_guard import reap_training_stack
+
+    victim = subprocess.Popen([sys.executable, "-c",
+                               "import time; time.sleep(300)"])
+    f_victim = tmp_path / "victim.pid"
+    f_victim.write_text(str(victim.pid))
+    f_self = tmp_path / "self.pid"
+    f_self.write_text(str(os.getpid()))          # must be skipped
+    f_dead = tmp_path / "dead.pid"
+    f_dead.write_text("99999999")                # no such pid
+    f_junk = tmp_path / "junk.pid"
+    f_junk.write_text("not-a-pid")
+    f_missing = tmp_path / "missing.pid"         # never created
+
+    reaped = reap_training_stack(
+        pid_files=(str(f_junk), str(f_dead), str(f_self), str(f_missing),
+                   str(f_victim)),
+        wait_s=5.0, log=sys.stderr)
+    assert reaped == [victim.pid]
+    # victim actually died
+    t0 = _t.time()
+    while victim.poll() is None and _t.time() - t0 < 10:
+        _t.sleep(0.1)
+    assert victim.poll() is not None
+    # we ourselves are alive (trivially true if this line runs)

@@ -100,3 +100,44 @@ def test_watchdog_detects_tunnel_and_restarts(tmp_path):
          sys.executable, "-c", "print('ok')"],
         timeout=60).returncode
     assert rc == 0
+
+
+def test_watchdog_sigterm_kills_child(tmp_path):
+    """The one-TPU-process reap path (bench.py -> run_guard): SIGTERM to
+    the watchdog must take its training child down with it instead of
+    orphaning a live TPU client, and must record the child pid in
+    /tmp/watchdog_child.pid for the straggler sweep."""
+    import signal
+    import time
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    log = tmp_path / "w.log"
+    log.write_text("x")
+    pidfile = tmp_path / "child.pid"
+    wd = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "scripts", "watchdog_train.py"),
+         "--log", str(log), "--tunnel-port", "0", "--poll-s", "0.2",
+         "--stale-min", "10", "--child-pid-file", str(pidfile), "--",
+         sys.executable, "-c", "import time; time.sleep(300)"])
+    # wait for the child pid file to appear
+    child = None
+    t0 = time.time()
+    while time.time() - t0 < 20:
+        try:
+            child = int(open(pidfile).read().strip())
+            break
+        except (OSError, ValueError):
+            time.sleep(0.2)
+    assert child is not None, "watchdog never wrote watchdog_child.pid"
+    os.kill(child, 0)                      # child is alive
+    wd.send_signal(signal.SIGTERM)
+    assert wd.wait(timeout=30) == 2        # handler exit code
+    t0 = time.time()
+    while time.time() - t0 < 10:
+        try:
+            os.kill(child, 0)
+            time.sleep(0.2)
+        except ProcessLookupError:
+            break
+    with pytest.raises(ProcessLookupError):
+        os.kill(child, 0)
