@@ -61,6 +61,12 @@ tpu_job /tmp/bench_rbg_noshade.json /tmp/bench_rbg_noshade.log \
 tpu_job /tmp/bench_seq.json     /tmp/bench_seq.log     \
     env BENCH_SCALE=seq python bench.py
 
+echo "[queue] fresh perf breakdown (feeds the next lever round)"
+tpu_job /tmp/profile_step.log /tmp/profile_step.log.err \
+    python scripts/profile_step.py
+tpu_job /tmp/profile_bwd.log /tmp/profile_bwd.log.err \
+    python scripts/profile_bwd.py
+
 # ---- CPU-only follow-ups (safe: every TPU job above has exited) ----------
 echo "[queue] multi-view rescore of the finished stages (CPU)"
 D3H_PLATFORM=cpu python scripts/eval_parity.py \
