@@ -46,7 +46,7 @@ fi
 
 echo "[queue] backbone quality A/B (conv/pyramid/none/bf16 at the stable config)"
 tpu_job /tmp/ab_backbone.log /tmp/ab_backbone.err \
-    python scripts/ab_init_arms.py --iters 600 --arms conv,pyramid,none,bf16 \
+    python scripts/ab_init_arms.py --iters 1000 --arms conv,pyramid,none,bf16 \
     --n-frames 64 --shuffle --out AB_BACKBONE.json
 
 echo "[queue] bench variants"
