@@ -32,7 +32,9 @@ from d3human_tpu.config import Config
 from d3human_tpu.models.fields import MLP, DeformMLP
 from d3human_tpu.models.smplx.deformer import CanonicalState, SMPLXDeformer
 from d3human_tpu.ops import mesh_ops
-from d3human_tpu.ops.marching_tets import GShellMesh, gshell_extract
+from d3human_tpu.ops.marching_tets import (
+    GShellMesh, gshell_extract, gshell_extract_pair,
+)
 from d3human_tpu.ops.mesh_sdf import mesh_sdf
 from d3human_tpu.ops.tet_grid import TetGrid
 
@@ -199,6 +201,29 @@ class GeometryModel:
         posed = jnp.where(mesh.vert_valid[:, None], posed, 0.0)
         return ExtractedMeshes(mesh=mesh, sdf=sdf, verts_posed=posed,
                                verts_template=mesh.verts)
+
+    def get_meshes_pair(self, params: Params, pose_params, frame_idx
+                        ) -> Tuple[ExtractedMeshes, ExtractedMeshes]:
+        """Both split-stage halves (cloth mSDF>0, body mSDF<0) sharing one
+        level-1 extraction, one full-grid SDF query, and ONE LBS pose of the
+        shared vertex array. The reference extracts and poses per half every
+        split iteration (ref train.py:1040-1045 -> getMesh_split twice);
+        outputs here are bit-identical to two get_meshes calls (tested:
+        tests/test_marching_tets.py::test_extract_pair_matches_single) at a
+        fraction of the cost — see ops/marching_tets.gshell_extract_pair."""
+        v_def = self.deformed_grid(params)
+        sdf = self.query_sdf(params, v_def)
+        cloth, body, raw = gshell_extract_pair(
+            self.grid, v_def, sdf, params["msdf"],
+            self.max_verts, self.max_tets)
+        posed_raw = self.pose_verts(raw, pose_params, frame_idx)
+
+        def pack(mesh):
+            posed = jnp.where(mesh.vert_valid[:, None], posed_raw, 0.0)
+            return ExtractedMeshes(mesh=mesh, sdf=sdf, verts_posed=posed,
+                                   verts_template=mesh.verts)
+
+        return pack(cloth), pack(body)
 
     # ------------------------------------------------------------- seq stage
     def seq_deformed(self, params: Params, template: SeqTemplate,

@@ -31,7 +31,7 @@ The lookup tables are the published DMTet / G-Shell marching-tets constants
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -201,17 +201,24 @@ def _stable_denom(d: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return s * (jnp.abs(d) + eps)
 
 
-def gshell_extract(
+def _gshell_level1(
     grid: TetGrid,
     pos: jnp.ndarray,        # [N, 3] deformed grid vertex positions
     sdf: jnp.ndarray,        # [N]
-    msdf: jnp.ndarray,       # [N]
+    msdf: jnp.ndarray,       # [N] UNSIGNED (sign applied in level 2)
     max_verts: int,
     max_tets: int,
-    msdf_sign: float = 1.0,  # +1 cloth / template, -1 body (split variant)
-) -> GShellMesh:
+) -> dict:
+    """Everything that does not depend on the mSDF cut sign: level-1
+    marching tets (SDF crossings -> watertight mesh), the two stream
+    compactions, all large fused-row gathers, and the level-2 boundary
+    vertices (bit-invariant under a global mSDF negation because IEEE
+    negation commutes exactly with the interpolation arithmetic — see
+    gshell_extract_pair). The split stage cuts the SAME level-1 mesh with
+    both signs (ref hmsdf_tets_split.py:254-264 runs the whole extraction
+    twice; here the expensive shared prefix runs once)."""
     sdf = sdf.reshape(-1).astype(jnp.float32)
-    msdf = (msdf_sign * msdf.reshape(-1)).astype(jnp.float32)
+    msdf = msdf.reshape(-1).astype(jnp.float32)
     MV, MT = max_verts, max_tets
     E = grid.n_edges
 
@@ -311,6 +318,40 @@ def gshell_extract(
     msdf_b = (m_c_stop * jax.lax.stop_gradient(bwA)
               + m_c_stop[:, nxt] * jax.lax.stop_gradient(bwB))     # [MT, 4]
 
+    verts_wt = jnp.where(vert_ok[:, None], verts_wt, 0.0)
+    verts_aug_raw = jnp.concatenate(
+        [verts_wt, verts_b.reshape(MT * 4, 3)], axis=0)
+    is_quad = ntri == 2
+
+    return {
+        "MV": MV, "MT": MT,
+        "vert_ok": vert_ok, "verts_wt": verts_wt,
+        "msdf_wt_stop": msdf_wt_stop,
+        "faces_wt": faces_wt, "face_wt_valid": face_wt_valid,
+        "tet_ok": tet_ok, "ntri": ntri, "is_quad": is_quad, "cyc": cyc,
+        "m_c": m_c, "msdf_b": msdf_b,
+        "verts_aug_raw": verts_aug_raw,
+        "n_cross": jnp.sum(crossing),
+        "n_valid_tets": jnp.sum(valid_tet),
+    }
+
+
+def _gshell_level2(lv1: dict, msdf_sign: float) -> Tuple[GShellMesh, jnp.ndarray]:
+    """Sign-dependent mSDF cut of the shared level-1 polygons: cheap [MT,*]
+    table lookups + sign flips only (the boundary-vertex positions are
+    sign-invariant and come precomputed from level 1). Returns the mesh and
+    the shared UNMASKED aug vertex array (so callers posing both halves can
+    run LBS once)."""
+    MV, MT = lv1["MV"], lv1["MT"]
+    tet_ok, ntri, is_quad = lv1["tet_ok"], lv1["ntri"], lv1["is_quad"]
+    cyc = lv1["cyc"]
+    # exact sign application (gather commutes with negation bit-exactly, so
+    # this equals running the whole extraction on msdf_sign * msdf)
+    m_c = msdf_sign * lv1["m_c"]                                   # [MT, 4]
+    msdf_b = msdf_sign * lv1["msdf_b"]
+    msdf_wt_stop = msdf_sign * lv1["msdf_wt_stop"]
+    verts_wt = lv1["verts_wt"]
+
     # cut-case index
     mocc = (m_c > 0).astype(jnp.int32)                             # [MT, 4]
     tri_powers = jnp.asarray([4, 2, 1, 0], jnp.int32)
@@ -318,7 +359,6 @@ def gshell_extract(
     mi_tri = jnp.sum(mocc * tri_powers, axis=-1)
     mi_quad = jnp.sum(mocc * quad_powers, axis=-1)
 
-    is_quad = ntri == 2
     n_cut = jnp.where(
         is_quad,
         jnp.asarray(NUM_QUAD_CUT)[mi_quad],
@@ -351,8 +391,7 @@ def gshell_extract(
     faces_aug = jnp.where(face_valid[:, None], faces_aug, 0)
 
     # ---- assemble ----------------------------------------------------------
-    verts_wt = jnp.where(vert_ok[:, None], verts_wt, 0.0)
-    verts_aug = jnp.concatenate([verts_wt, verts_b.reshape(MT * 4, 3)], axis=0)
+    verts_aug_raw = lv1["verts_aug_raw"]
     msdf_aug = jnp.concatenate([msdf_wt_stop, msdf_b.reshape(MT * 4)], axis=0)
 
     # mark referenced vertices (ref zeroes unused ones; we track a mask)
@@ -360,22 +399,65 @@ def gshell_extract(
     ref_ids = jnp.where(face_valid[:, None], faces_aug, MV + MT * 4 - 1)
     vert_valid = vert_valid.at[ref_ids.reshape(-1)].set(True)
     vert_valid = vert_valid & jnp.concatenate(
-        [vert_ok, jnp.ones((MT * 4,), bool)])
-    verts_aug = jnp.where(vert_valid[:, None], verts_aug, 0.0)
+        [lv1["vert_ok"], jnp.ones((MT * 4,), bool)])
+    verts_aug = jnp.where(vert_valid[:, None], verts_aug_raw, 0.0)
 
-    return GShellMesh(
+    mesh = GShellMesh(
         verts=verts_aug,
         faces=faces_aug,
         face_valid=face_valid,
         vert_valid=vert_valid,
         msdf_aug=msdf_aug,
         verts_wt=verts_wt,
-        faces_wt=faces_wt,
-        face_wt_valid=face_wt_valid,
+        faces_wt=lv1["faces_wt"],
+        face_wt_valid=lv1["face_wt_valid"],
         msdf_wt=msdf_wt_stop,
-        n_cross=jnp.sum(crossing),
-        n_valid_tets=jnp.sum(valid_tet),
+        n_cross=lv1["n_cross"],
+        n_valid_tets=lv1["n_valid_tets"],
     )
+    return mesh, verts_aug_raw
+
+
+def gshell_extract(
+    grid: TetGrid,
+    pos: jnp.ndarray,        # [N, 3] deformed grid vertex positions
+    sdf: jnp.ndarray,        # [N]
+    msdf: jnp.ndarray,       # [N]
+    max_verts: int,
+    max_tets: int,
+    msdf_sign: float = 1.0,  # +1 cloth / template, -1 body (split variant)
+) -> GShellMesh:
+    lv1 = _gshell_level1(grid, pos, sdf, msdf, max_verts, max_tets)
+    mesh, _ = _gshell_level2(lv1, msdf_sign)
+    return mesh
+
+
+def gshell_extract_pair(
+    grid: TetGrid,
+    pos: jnp.ndarray,
+    sdf: jnp.ndarray,
+    msdf: jnp.ndarray,
+    max_verts: int,
+    max_tets: int,
+) -> Tuple[GShellMesh, GShellMesh, jnp.ndarray]:
+    """Both split-stage cuts — cloth (mSDF>0) and body (mSDF<0, ref
+    hmsdf_tets_split.py:254-264) — sharing one level-1 extraction. The
+    reference runs the full two-level extraction per half every split
+    iteration (ref train.py:1040-1045 -> getMesh_split twice); here the SDF
+    crossing detection, both stream compactions, every large fused-row
+    gather, and the boundary-vertex interpolation run ONCE, and only the
+    cheap per-tet cut tables differ per sign. Outputs are bit-identical to
+    two independent gshell_extract calls (tested): negation is exact in
+    IEEE float and commutes with gather/+-*/ and _stable_denom, so applying
+    the sign after the shared gathers equals signing the input.
+
+    Returns (cloth_mesh, body_mesh, verts_aug_raw) where verts_aug_raw is
+    the UNMASKED shared vertex array — pose it once with LBS and mask per
+    half (posing is per-vertex, models/smplx/deformer.py:126)."""
+    lv1 = _gshell_level1(grid, pos, sdf, msdf, max_verts, max_tets)
+    cloth, raw = _gshell_level2(lv1, 1.0)
+    body, _ = _gshell_level2(lv1, -1.0)
+    return cloth, body, raw
 
 
 def sdf_reg_loss(sdf: jnp.ndarray, grid: TetGrid) -> jnp.ndarray:

@@ -105,7 +105,14 @@ def reassign_components(
 
 def head_bbox(body_v: np.ndarray, top_fraction: float = 0.18) -> np.ndarray:
     """Axis-aligned bbox of the top `top_fraction` of the body's y-span
-    (ref writes bbox.npz for head-region subdivision)."""
+    (ref writes bbox.npz for head-region subdivision). An empty body mesh
+    (under-trained smoke runs where the mSDF split never separated a body
+    half) degrades to an empty bbox instead of crashing — downstream
+    head-subdivision simply selects no faces."""
+    if len(body_v) == 0:
+        print("[components] WARNING: empty body mesh, head bbox is empty "
+              "(under-trained split?)", flush=True)
+        return np.zeros((2, 3), np.float32)
     y0, y1 = body_v[:, 1].min(), body_v[:, 1].max()
     cut = y1 - (y1 - y0) * top_fraction
     head = body_v[body_v[:, 1] >= cut]

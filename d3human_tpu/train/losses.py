@@ -85,12 +85,16 @@ def msdf_image_hinges(buffers: MeshBuffers, gt_mask: jnp.ndarray):
 def render_stage_mesh(key, model: GeometryModel, params, pose_params,
                       tex_module, tex_params, target, cfg: Config,
                       msdf_sign: float = 1.0,
-                      raster_opts=None, compact=None, shade=True) -> tuple:
+                      raster_opts=None, compact=None, shade=True,
+                      meshes=None) -> tuple:
     """getMesh + render (ref render_init/render_split, hmsdf.py:706-773).
     Texture coordinates use the *unposed* template positions
-    (ref render.py:259 interpolates mesh_original = tmp_nodeform_mesh)."""
-    meshes = model.get_meshes(params, pose_params, target["frame_idx"],
-                              msdf_sign=msdf_sign)
+    (ref render.py:259 interpolates mesh_original = tmp_nodeform_mesh).
+    Pass precomputed ``meshes`` to reuse a shared extraction (split stage
+    extracts both halves at once via get_meshes_pair)."""
+    if meshes is None:
+        meshes = model.get_meshes(params, pose_params, target["frame_idx"],
+                                  msdf_sign=msdf_sign)
     buffers = render_mesh(
         key,
         verts=meshes.verts_posed,
@@ -197,13 +201,13 @@ def tick_init(key, model: GeometryModel, params, pose_params,
 def tick_split_one(key, model: GeometryModel, params, pose_params,
                    tex_module, tex_params, perceptual, perc_params,
                    target, it, cfg: Config, mesh_type: str,
-                   raster_opts=None) -> Dict[str, jnp.ndarray]:
+                   raster_opts=None, meshes=None) -> Dict[str, jnp.ndarray]:
     """One half (cloth or body) of the split tick (ref hmsdf.py:917-1096)."""
     sign = 1.0 if mesh_type == "cloth" else -1.0
     k_render, k_sample, k_crop = jax.random.split(key, 3)
     meshes, buffers = render_stage_mesh(
         k_render, model, params, pose_params, tex_module, tex_params,
-        target, cfg, msdf_sign=sign, raster_opts=raster_opts)
+        target, cfg, msdf_sign=sign, raster_opts=raster_opts, meshes=meshes)
 
     color_ref = target[f"{mesh_type}_img"]
     normal_ref = target[f"{mesh_type}_normal"]
@@ -293,14 +297,20 @@ def tick_split(key, model, params, pose_params, tex_module, tex_params,
                perceptual, perc_params, target, it, cfg: Config,
                raster_opts=None) -> Dict[str, jnp.ndarray]:
     """Both halves + the driver's weighting (ref train.py:1040-1087:
-    total = cloth img+normal+reg + body img+normal+reg + 10x mask each)."""
+    total = cloth img+normal+reg + body img+normal+reg + 10x mask each).
+    The two halves share one level-1 extraction + LBS (bit-identical to
+    independent per-half extraction, models/geometry.py:get_meshes_pair) —
+    the sign enters the reference's pipeline before its big gathers, so
+    XLA's CSE cannot recover this sharing on its own."""
     kc, kb = jax.random.split(key)
+    meshes_c, meshes_b = model.get_meshes_pair(params, pose_params,
+                                               target["frame_idx"])
     cloth = tick_split_one(kc, model, params, pose_params, tex_module,
                            tex_params, perceptual, perc_params, target, it,
-                           cfg, "cloth", raster_opts)
+                           cfg, "cloth", raster_opts, meshes=meshes_c)
     body = tick_split_one(kb, model, params, pose_params, tex_module,
                           tex_params, perceptual, perc_params, target, it,
-                          cfg, "body", raster_opts)
+                          cfg, "body", raster_opts, meshes=meshes_b)
     total = (cloth["img_loss"] + cloth["normal_loss"] + cloth["reg_loss"]
              + body["img_loss"] + body["normal_loss"] + body["reg_loss"]
              + 10.0 * cloth["msk_loss"] + 10.0 * body["msk_loss"])

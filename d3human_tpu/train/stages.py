@@ -20,6 +20,7 @@ out_dir/<stage>/ exactly like the reference's file-mediated DAG.
 from __future__ import annotations
 
 import os
+import time
 from typing import Callable, Dict, Optional
 
 import jax
@@ -191,6 +192,80 @@ def export_stage_meshes(model: GeometryModel, params: Dict, save_path: str,
     mesh_io.write_obj(path, v, f)
     out["watertight"] = path
     return out
+
+
+def run_seq_stage_parallel(
+    params: Dict,
+    template: SeqTemplate,
+    frame_targets: Callable[[int], Dict],
+    n_frames: int,
+    cfg: Config,
+    save_path: str,
+    key,
+    model: GeometryModel,
+    tex_module,
+    perceptual,
+    perc_params,
+    n_devices: int = 0,
+):
+    """Frame-parallel seq driver (the TPU-native production path): every
+    frame optimizes simultaneously as a per-frame parameter replica sharded
+    over the device mesh's 'frames' axis (parallel/frames.py). Wall-clock
+    is max(per-frame iters) instead of the reference's serial sum
+    (ref train.py:1921-1926).
+
+    Deviations from the serial-parity driver, by design (documented in
+    parallel/frames.py): no frame-to-frame warm start, so EVERY frame runs
+    the full ``seq_iters_first`` budget; the whole optimization is one jit
+    call (no mid-run checkpoints — rerun on interruption). Artifacts are
+    written in the exact serial format (delta/<f>.npz + fine_all_<f>.ply),
+    so parity scoring and downstream tooling see no difference."""
+    from d3human_tpu.parallel.frames import make_parallel_seq_runner
+    from d3human_tpu.parallel.mesh import make_frame_mesh
+
+    os.makedirs(os.path.join(save_path, "delta"), exist_ok=True)
+    n_frames = min(n_frames, cfg.stages.seq_max_frames)
+    mesh = make_frame_mesh(n_devices)
+    n_dev = mesh.devices.size
+    # pad the frame axis to a mesh multiple (shardings need divisibility);
+    # padded replicas re-optimize frame 0 and are dropped at export
+    n_pad = -(-n_frames // n_dev) * n_dev
+    frames = [frame_targets(min(f, n_frames - 1)) for f in range(n_pad)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+
+    launch, mesh = make_parallel_seq_runner(
+        model, tex_module, perceptual, perc_params, template, cfg,
+        n_frames=n_pad, n_iters=cfg.stages.seq_iters_first, mesh=mesh)
+    print(f"[seq-par] {n_frames} frames (+{n_pad - n_frames} pad) x "
+          f"{cfg.stages.seq_iters_first} iters on {n_dev} device(s)",
+          flush=True)
+    t0 = time.time()
+    per_frame_params, totals = launch(params, stacked, key)
+    totals = np.asarray(totals)                      # [n_pad, n_iters]
+    wall = time.time() - t0
+    print(f"[seq-par] done in {wall:.1f}s "
+          f"({wall / cfg.stages.seq_iters_first * 1000:.1f} ms/iter "
+          f"wall across all frames)", flush=True)
+
+    logger = ScalarLogger(os.path.join(save_path, "loss_log"))
+    for frame in range(n_frames):
+        for it in range(0, totals.shape[1], cfg.stages.log_interval):
+            logger.log(frame * 100000 + it,
+                       {"total": float(totals[frame, it])})
+        p_f = jax.tree.map(lambda x: x[frame], per_frame_params)
+        target = frames[frame]
+        posed, delta = jax.jit(
+            lambda c, g, t, p, i: model.bind(c).seq_deformed(g, t, p, i))(
+            model.consts(), p_f["geometry"], template,
+            p_f["pose"], target["frame_idx"])
+        np.savez(os.path.join(save_path, "delta", f"{frame}.npz"),
+                 delta=np.asarray(delta))
+        mesh_io.write_ply(os.path.join(save_path, f"fine_all_{frame}.ply"),
+                          np.asarray(posed), np.asarray(template.f))
+        print(f"[seq-par] frame={frame} final total="
+              f"{float(totals[frame, -1]):.4f}", flush=True)
+    logger.close()
+    return per_frame_params
 
 
 def run_seq_stage(

@@ -203,3 +203,67 @@ def test_structured_crossing_matches_gather(grid):
     got_valid = np.asarray(jax.jit(_structured_valid_tets)(
         jnp.asarray(occ).reshape(grid.vert_dims)))
     np.testing.assert_array_equal(got_valid, expect_valid)
+
+
+def test_extract_pair_matches_single(grid):
+    """gshell_extract_pair must be BIT-identical to two independent
+    gshell_extract calls (values and gradients): the split stage relies on
+    this to share level-1 work between the cloth/body halves."""
+    from d3human_tpu.ops.marching_tets import gshell_extract_pair
+
+    key = jax.random.PRNGKey(0)
+    sdf = sphere_sdf(grid.verts) + 0.02 * jax.random.normal(
+        key, (grid.n_verts,))
+    msdf = jnp.sin(7.0 * grid.verts[:, 0]) + 0.3 * jnp.cos(
+        5.0 * grid.verts[:, 1])
+
+    @jax.jit
+    def pair(sdf, msdf):
+        c, b, _ = gshell_extract_pair(grid, grid.verts, sdf, msdf, MV, MT)
+        return c, b
+
+    @jax.jit
+    def single(sdf, msdf, sign):
+        return gshell_extract(grid, grid.verts, sdf, msdf, MV, MT,
+                              msdf_sign=sign)
+
+    c, b = pair(sdf, msdf)
+    c_ref = single(sdf, msdf, 1.0)
+    b_ref = single(sdf, msdf, -1.0)
+    for got, ref, tag in ((c, c_ref, "cloth"), (b, b_ref, "body")):
+        for name in got._fields:
+            g, r = np.asarray(getattr(got, name)), np.asarray(
+                getattr(ref, name))
+            assert np.array_equal(g, r), f"{tag}.{name} diverged"
+    # the halves genuinely differ (the msdf cut is sign-mixed)
+    assert not np.array_equal(np.asarray(c.face_valid),
+                              np.asarray(b.face_valid))
+    assert np.asarray(c.face_valid).sum() > 0
+    assert np.asarray(b.face_valid).sum() > 0
+
+    # gradients through verts + msdf_aug of both halves, pair vs single
+    wv = jax.random.normal(jax.random.fold_in(key, 1), c.verts.shape)
+    wm = jax.random.normal(jax.random.fold_in(key, 2), c.msdf_aug.shape)
+
+    def scal(mesh):
+        return (jnp.sum(mesh.verts * wv) + jnp.sum(mesh.msdf_aug * wm))
+
+    def loss_pair(sdf, msdf):
+        cc, bb, _ = gshell_extract_pair(grid, grid.verts, sdf, msdf, MV, MT)
+        return scal(cc) + 2.0 * scal(bb)
+
+    def loss_single(sdf, msdf):
+        cc = gshell_extract(grid, grid.verts, sdf, msdf, MV, MT, 1.0)
+        bb = gshell_extract(grid, grid.verts, sdf, msdf, MV, MT, -1.0)
+        return scal(cc) + 2.0 * scal(bb)
+
+    # gradients are mathematically identical; bits differ only by f32
+    # accumulation order (shared-subexpression cotangents merge earlier in
+    # the pair path), so compare with a reassociation-sized tolerance
+    gp = jax.jit(jax.grad(loss_pair, argnums=(0, 1)))(sdf, msdf)
+    gs = jax.jit(jax.grad(loss_single, argnums=(0, 1)))(sdf, msdf)
+    for a, r, tag in ((gp[0], gs[0], "d/dsdf"), (gp[1], gs[1], "d/dmsdf")):
+        a, r = np.asarray(a), np.asarray(r)
+        scale = np.abs(r).max()
+        np.testing.assert_allclose(a / scale, r / scale,
+                                   rtol=0, atol=1e-5, err_msg=tag)

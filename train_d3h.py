@@ -61,6 +61,14 @@ def parse_args():
                    help="comma-separated subset of the stage graph")
     p.add_argument("--iters-scale", type=float, default=1.0,
                    help="scale all stage iteration counts (smoke runs)")
+    p.add_argument("--seq-parallel", action="store_true",
+                   help="optimize all seq-stage frames simultaneously as "
+                        "per-frame replicas sharded over the device mesh "
+                        "(wall-clock = max instead of the reference's "
+                        "serial sum; no warm-start chain — every frame "
+                        "gets the full first-frame iteration budget). "
+                        "Use D3H_NUM_CPU_DEVICES=8 D3H_PLATFORM=cpu to "
+                        "exercise it without a TPU pod.")
     p.add_argument("--resume", action="store_true",
                    help="resume each stage from its latest checkpoint "
                         "(full TrainState incl. optimizer moments; "
@@ -312,20 +320,29 @@ def main():
 
     if "seq" in stages:
         template = build_seq_template(process_dir)
-        tx, step_fn = make_train_step("seq", model, tex, perceptual,
-                                      perc_params, cfg, template=template)
-        state = TrainState(params=params, opt_state=tx.init(params),
-                           step=jnp.zeros((), jnp.int32))
         cfg_seq = cfg
         if args.iters_scale != 1.0:
             cfg_seq = dataclasses.replace(cfg, stages=dataclasses.replace(
                 cfg.stages,
                 seq_iters_first=s(cfg.stages.seq_iters_first),
                 seq_iters_rest=s(cfg.stages.seq_iters_rest)))
-        run_seq_stage(state, step_fn, template, get_frame,
-                      n_frames=n_images, cfg=cfg_seq,
-                      save_path=os.path.join(cfg.out_dir, "seq"),
-                      key=jax.random.fold_in(kRun, 3), model=model)
+        if args.seq_parallel:
+            from d3human_tpu.train.stages import run_seq_stage_parallel
+            run_seq_stage_parallel(
+                params, template, get_frame, n_frames=n_images, cfg=cfg_seq,
+                save_path=os.path.join(cfg.out_dir, "seq"),
+                key=jax.random.fold_in(kRun, 3), model=model,
+                tex_module=tex, perceptual=perceptual,
+                perc_params=perc_params)
+        else:
+            tx, step_fn = make_train_step("seq", model, tex, perceptual,
+                                          perc_params, cfg, template=template)
+            state = TrainState(params=params, opt_state=tx.init(params),
+                               step=jnp.zeros((), jnp.int32))
+            run_seq_stage(state, step_fn, template, get_frame,
+                          n_frames=n_images, cfg=cfg_seq,
+                          save_path=os.path.join(cfg.out_dir, "seq"),
+                          key=jax.random.fold_in(kRun, 3), model=model)
         if args.synthetic:
             # per-frame Chamfer of the fitted seq meshes vs the GT posed
             # surfaces (BASELINE.md protocol on fine_all_*.ply)
