@@ -437,9 +437,32 @@ def barycentrics(
     bw = bs / w
     bsum = jnp.sum(bw, axis=-1, keepdims=True)
     bsum = jnp.where(jnp.abs(bsum) < 1e-12, 1e-12, bsum)
-    bary = bw / bsum
+    bary = _degenerate_guard(bw / bsum)
     mask = rast.tri_id > 0
     return jnp.where(mask[..., None], bary, 0.0), mask
+
+
+def _degenerate_guard(bary: jnp.ndarray) -> jnp.ndarray:
+    """Bound barycentrics of sliver-covered pixels to a convex combination.
+
+    A pixel can pass the coverage edge tests on a near-zero-area triangle;
+    the edge sum then lands on the 1e-12 clamp and the individual
+    barycentrics blow up with mixed signs (they still sum to 1, so the
+    pathology is invisible to sum checks). Interpolated attributes at those
+    pixels explode — observed in production f3c runs as intermittent ~1e11
+    spikes of the mSDF hinge (log-only in init, but part of the SPLIT-stage
+    total: the 7.4e16 loss spikes in out/parity_r03d/split loss logs).
+    nvdiffrast never produces them because its coverage and its (u, v) come
+    from one watertight rasterizer (rast.cu's fixed-point edge functions).
+
+    Healthy covered pixels have b in [0, 1] up to rounding, so the where()
+    keeps them BIT-IDENTICAL (golden losses unchanged); only pixels with a
+    component beyond ±2 are replaced by the clamped renormalized convex
+    version of themselves."""
+    bad = jnp.any(jnp.abs(bary) > 2.0, axis=-1, keepdims=True)
+    safe = jnp.clip(bary, 0.0, 1.0)
+    safe = safe / jnp.maximum(jnp.sum(safe, axis=-1, keepdims=True), 1e-8)
+    return jnp.where(bad, safe, bary)
 
 
 def interpolate(
@@ -518,7 +541,7 @@ def barycentrics_compact(tri_clip: jnp.ndarray, pix_xy: jnp.ndarray,
     bw = bs / w
     bsum = jnp.sum(bw, axis=-1, keepdims=True)
     bsum = jnp.where(jnp.abs(bsum) < 1e-12, 1e-12, bsum)
-    return bw / bsum
+    return _degenerate_guard(bw / bsum)
 
 
 def scatter_image(vals: jnp.ndarray, idx: jnp.ndarray, resolution):

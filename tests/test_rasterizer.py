@@ -339,3 +339,51 @@ def test_depth_peel_pallas_interpret_matches():
         ia, ib = np.asarray(a.tri_id), np.asarray(b.tri_id)
         assert ((ia > 0) == (ib > 0)).all(), f"layer {l} coverage differs"
         assert (ia == ib).mean() > 0.99, f"layer {l} winners diverge"
+
+
+def test_degenerate_sliver_barycentrics_bounded():
+    """A pixel marked covered by a (near-)zero-area triangle must still get
+    convex barycentrics: without the sliver guard the 1e-12 edge-sum clamp
+    makes components blow up with mixed signs, and interpolated attributes
+    explode (production f3c symptom: intermittent ~1e11 mSDF-hinge spikes;
+    the hinge is part of the split-stage total). nvdiffrast semantics:
+    interpolation at a covered pixel is a convex combination."""
+    from d3human_tpu.ops.rasterizer import Rast, barycentrics_compact
+
+    # three collinear-to-fp vertices (zero area) spanning the screen
+    verts = jnp.array([
+        [-0.5, -0.5, 0.5, 1.0],
+        [0.5, 0.5, 0.5, 1.0],
+        [0.0, 0.0, 0.5, 1.0],
+    ])
+    faces = jnp.array([[0, 1, 2]], jnp.int32)
+    # force-cover one pixel with the sliver
+    tri_id = jnp.zeros(RES, jnp.int32).at[32, 32].set(1)
+    rast = Rast(tri_id=tri_id, zbuf=jnp.full(RES, 0.5))
+    bary, mask = jax.jit(
+        lambda v: barycentrics(v, faces, rast, RES))(verts)
+    b = np.asarray(bary)[32, 32]
+    assert np.all(np.isfinite(b))
+    assert b.min() >= 0.0 and b.max() <= 1.0 + 1e-6, b
+    assert abs(b.sum() - 1.0) < 1e-5, b
+
+    # interpolation stays within the attribute hull
+    attr = jnp.array([[1.0], [2.0], [3.0]])
+    img = np.asarray(interpolate(attr, bary, faces, rast))
+    assert img[32, 32, 0] <= 3.0 + 1e-5 and img[32, 32, 0] >= 0.0
+
+    # compact variant: same guard
+    bc = np.asarray(jax.jit(lambda v: barycentrics_compact(
+        v[faces][jnp.zeros((4,), jnp.int32)],
+        jnp.full((4, 2), 32.5), RES))(verts))
+    assert np.all(np.isfinite(bc)) and bc.min() >= 0.0 \
+        and bc.max() <= 1.0 + 1e-6
+
+    # healthy pixels are BIT-identical to the unguarded math (golden safety)
+    verts_h, faces_h, fv_h = tri_scene()
+    rast_h = jax.jit(
+        lambda v: rasterize_bruteforce(v, faces_h, fv_h, RES))(verts_h)
+    bary_h, _ = jax.jit(
+        lambda v: barycentrics(v, faces_h, rast_h, RES))(verts_h)
+    bh = np.asarray(bary_h)[np.asarray(rast_h.tri_id) > 0]
+    assert bh.min() >= -1e-4 and bh.max() <= 1.0 + 1e-4
