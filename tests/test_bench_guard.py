@@ -100,3 +100,20 @@ def test_reap_training_stack(tmp_path):
         _t.sleep(0.1)
     assert victim.poll() is not None
     # we ourselves are alive (trivially true if this line runs)
+
+
+def test_bench_build_split_stage_constructs(monkeypatch):
+    """BENCH_STAGE=split must build: the split bench path adds per-half
+    targets (cloth/body img+normal) and a split-stage train step. Build-only
+    (no step execution) so the guard stays fast on CPU."""
+    monkeypatch.setenv("BENCH_STAGE", "split")
+    monkeypatch.setenv("D3H_PLATFORM", "cpu")   # skip the axon tunnel probe
+    import bench
+
+    state, step_fn, target, extras = bench.build("small")
+    assert extras["stage"] == "split"
+    for k in ("cloth_img", "body_img", "cloth_normal", "body_normal",
+              "all_img", "all_normal"):
+        assert k in target, k
+    assert target["cloth_img"].shape[-1] == 4
+    assert callable(step_fn)
