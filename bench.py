@@ -254,11 +254,22 @@ def build_seq(scale: str):
     )
     print(f"# seq bench template: {len(v)} verts, {len(f)} faces",
           file=sys.stderr)
+    if os.environ.get("BENCH_SEQ_STATICW", "0") == "1":
+        # A/B the static-skin-weights lever (stages.seq_static_skin_weights)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, stages=_dc.replace(
+            cfg.stages, seq_static_skin_weights=True))
 
     grid = make_tet_grid(res=16,
                          bounds=((-0.6, -0.8, -0.4), (0.6, 0.8, 0.4)),
                          y_offset=0.0, scale=1.0)
     model = GeometryModel(cfg, grid, scene.deformer, scene.canon)
+    if cfg.stages.seq_static_skin_weights:
+        import dataclasses as _dc
+
+        template = _dc.replace(
+            template, w_pts=jax.jit(model.static_skin_weights)(template.v))
     key = jax.random.PRNGKey(0)
     kt, kl = jax.random.split(key)
     gparams = model.init_params(key, n_images=2)

@@ -192,6 +192,13 @@ class StageConfig:
     save_checkpoint_interval: int = 500
     save_interval: int = 100
     log_interval: int = 10
+    # Anchor seq-stage LBS skinning weights at the rest template (computed
+    # once) instead of re-interpolating them at the nonrigidly-deformed
+    # positions every iteration (reference semantics, ref
+    # smplx_exavatar_deformer.py:454). Removes the per-iter [Vt x Vsmpl]
+    # KNN + its backward from the seq hot loop; a perf lever, OFF by
+    # default for exact reference parity.
+    seq_static_skin_weights: bool = False
 
 
 @dataclass(frozen=True)

@@ -62,12 +62,18 @@ class SeqTemplate:
     cloth_vidx: jnp.ndarray       # [Nc]
     body_f: jnp.ndarray           # [Fb, 3]
     connected_faces: jnp.ndarray  # [P, 2]
+    # Optional precomputed skinning weights [Vt, J] anchored at the rest
+    # template (stages.seq_static_skin_weights): removes the per-iteration
+    # KNN weight transfer (+ its backward) from the seq hot loop. None =
+    # reference semantics (re-interpolate at the deformed positions every
+    # step, ref smplx_exavatar_deformer.py:454).
+    w_pts: Optional[jnp.ndarray] = None
 
 
 jax.tree_util.register_pytree_node(
     SeqTemplate,
     lambda t: ((t.v, t.f, t.v_labels, t.face_labels, t.body_vidx,
-                t.cloth_vidx, t.body_f, t.connected_faces), None),
+                t.cloth_vidx, t.body_f, t.connected_faces, t.w_pts), None),
     lambda aux, ch: SeqTemplate(*ch),
 )
 
@@ -188,11 +194,14 @@ class GeometryModel:
 
     # ------------------------------------------------------------------ pose
     def pose_verts(self, verts: jnp.ndarray, pose_params: Dict[str, jnp.ndarray],
-                   frame_idx) -> jnp.ndarray:
+                   frame_idx, w_pts: Optional[jnp.ndarray] = None
+                   ) -> jnp.ndarray:
         """LBS template->frame posing of arbitrary points
-        (ref getMesh_init:471 via smplx_deform.lbs_forward)."""
+        (ref getMesh_init:471 via smplx_deform.lbs_forward). ``w_pts``
+        short-circuits the KNN weight transfer with precomputed weights."""
         return self.deformer.lbs_forward(self.canon, verts, pose_params,
-                                         jnp.asarray(frame_idx, jnp.int32))
+                                         jnp.asarray(frame_idx, jnp.int32),
+                                         w_pts=w_pts)
 
     def get_meshes(self, params: Params, pose_params, frame_idx,
                    msdf_sign: float = 1.0) -> ExtractedMeshes:
@@ -240,8 +249,15 @@ class GeometryModel:
         delta = delta.at[template.cloth_vidx].set(cloth_delta)
         delta = delta.at[template.body_vidx].set(body_delta)
         delta_v = template.v + delta
-        posed = self.pose_verts(delta_v, pose_params, frame_idx)
+        posed = self.pose_verts(delta_v, pose_params, frame_idx,
+                                w_pts=template.w_pts)
         return posed, delta
+
+    def static_skin_weights(self, verts: jnp.ndarray) -> jnp.ndarray:
+        """Precompute LBS skinning weights [V, J] at fixed (rest-template)
+        positions for stages.seq_static_skin_weights — one KNN transfer at
+        setup instead of one per training iteration."""
+        return self.deformer.interpolate_weights(self.canon, verts)
 
     # ---------------------------------------------------------- pretraining
     def pretrain_sdf(self, params: Params, target_sdf: jnp.ndarray,

@@ -62,6 +62,8 @@ tpu_job /tmp/bench_seq.json     /tmp/bench_seq.log     \
     env BENCH_SCALE=seq python bench.py
 tpu_job /tmp/bench_split.json   /tmp/bench_split.log   \
     env BENCH_STAGE=split python bench.py
+tpu_job /tmp/bench_seq_staticw.json /tmp/bench_seq_staticw.log \
+    env BENCH_SCALE=seq BENCH_SEQ_STATICW=1 python bench.py
 
 echo "[queue] fresh perf breakdown (feeds the next lever round)"
 tpu_job /tmp/profile_step.log /tmp/profile_step.log.err \
@@ -79,7 +81,7 @@ echo "[queue] collect evidence into the repo"
 cp -f out/parity_r03d/PARITY.json PARITY_r03.json 2>/dev/null
 cp -f out/parity_r03d/PARITY_MULTIVIEW.json PARITY_MULTIVIEW_r03.json \
     2>/dev/null
-for f in bench_full bench_noshade bench_rbg bench_rbg_noshade bench_seq bench_split; do
+for f in bench_full bench_noshade bench_rbg bench_rbg_noshade bench_seq bench_split bench_seq_staticw; do
     [ -s /tmp/$f.json ] && cp -f /tmp/$f.json BENCH_VARIANTS_$f.json
 done
 git add -A PARITY_r03.json PARITY_MULTIVIEW_r03.json AB_BACKBONE.json \

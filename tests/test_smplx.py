@@ -144,3 +144,31 @@ def test_deformer_follows_pose_change():
         transl=params["trans"])
     err = np.linalg.norm(np.asarray(out) - np.asarray(v_direct[0]), axis=-1)
     assert np.median(err) < 0.02
+
+
+def test_lbs_forward_precomputed_weights_match():
+    """w_pts precomputed at the query points must reproduce the dynamic KNN
+    path exactly (the stages.seq_static_skin_weights lever is an identity
+    when the nonrigid delta is zero)."""
+    model = synthetic_body_model()
+    deformer = SMPLXDeformer(model, k=1)
+    betas = jnp.zeros((1, model.num_betas))
+    canon = deformer.initialize(betas)
+    pose = jax.random.normal(jax.random.PRNGKey(5), (1, 63)) * 0.15
+    params = {
+        "shape": betas,
+        "trans": jnp.array([[0.05, -0.1, 0.2]]),
+        "root_pose": jnp.array([[0.0, 0.3, 0.1]]),
+        "body_pose": pose,
+        "jaw_pose": jnp.zeros((1, 3)),
+        "leye_pose": jnp.zeros((1, 3)),
+        "reye_pose": jnp.zeros((1, 3)),
+        "lhand_pose": jnp.zeros((1, 45)),
+        "rhand_pose": jnp.zeros((1, 45)),
+        "expr": jnp.zeros((1, model.num_expr)),
+    }
+    pts = canon.vs_template[0, ::5] + 0.01
+    dyn = deformer.lbs_forward(canon, pts, params, jnp.int32(0))
+    w = deformer.interpolate_weights(canon, pts)
+    static = deformer.lbs_forward(canon, pts, params, jnp.int32(0), w_pts=w)
+    np.testing.assert_array_equal(np.asarray(dyn), np.asarray(static))

@@ -320,6 +320,11 @@ def main():
 
     if "seq" in stages:
         template = build_seq_template(process_dir)
+        if cfg.stages.seq_static_skin_weights:
+            # one-time KNN weight transfer at the rest template (perf lever;
+            # default OFF = reference per-iteration re-interpolation)
+            template = dataclasses.replace(
+                template, w_pts=jax.jit(model.static_skin_weights)(template.v))
         cfg_seq = cfg
         if args.iters_scale != 1.0:
             cfg_seq = dataclasses.replace(cfg, stages=dataclasses.replace(
