@@ -248,16 +248,19 @@ def run_seq_stage_parallel(
           f"wall across all frames)", flush=True)
 
     logger = ScalarLogger(os.path.join(save_path, "loss_log"))
+    # one jit object reused across frames (a fresh lambda per frame would
+    # defeat the jit cache and retrace/compile n_frames times)
+    export_fn = jax.jit(
+        lambda c, g, t, p, i: model.bind(c).seq_deformed(g, t, p, i))
+    consts = model.consts()
     for frame in range(n_frames):
         for it in range(0, totals.shape[1], cfg.stages.log_interval):
             logger.log(frame * 100000 + it,
                        {"total": float(totals[frame, it])})
         p_f = jax.tree.map(lambda x: x[frame], per_frame_params)
         target = frames[frame]
-        posed, delta = jax.jit(
-            lambda c, g, t, p, i: model.bind(c).seq_deformed(g, t, p, i))(
-            model.consts(), p_f["geometry"], template,
-            p_f["pose"], target["frame_idx"])
+        posed, delta = export_fn(consts, p_f["geometry"], template,
+                                 p_f["pose"], target["frame_idx"])
         np.savez(os.path.join(save_path, "delta", f"{frame}.npz"),
                  delta=np.asarray(delta))
         mesh_io.write_ply(os.path.join(save_path, f"fine_all_{frame}.ply"),
@@ -286,6 +289,11 @@ def run_seq_stage(
     n_frames = min(n_frames, cfg.stages.seq_max_frames)
     timer = StepTimer()
     logger = ScalarLogger(os.path.join(save_path, "loss_log"))
+    # one jit object across frames (a fresh per-frame lambda would retrace
+    # and recompile the export n_frames times)
+    export_fn = jax.jit(
+        lambda c, g, t, p, i: model.bind(c).seq_deformed(g, t, p, i))
+    consts = model.consts()
     for frame in range(n_frames):
         iters = (cfg.stages.seq_iters_first if frame == 0
                  else cfg.stages.seq_iters_rest)
@@ -305,9 +313,8 @@ def run_seq_stage(
                       f"total={scalars['total']:.4f} "
                       f"time={timer.avg_ms:.1f}ms", flush=True)
         # per-frame delta artifact (ref train.py:1513-1519)
-        posed, delta = jax.jit(
-            lambda c, g, t, p, i: model.bind(c).seq_deformed(g, t, p, i))(
-            model.consts(), state.params["geometry"], template,
+        posed, delta = export_fn(
+            consts, state.params["geometry"], template,
             state.params["pose"], target["frame_idx"])
         np.savez(os.path.join(save_path, "delta", f"{frame}.npz"),
                  delta=np.asarray(delta))

@@ -56,6 +56,29 @@ def validation_strip(buffers: MeshBuffers, target: Dict) -> np.ndarray:
     return np.asarray(jnp.concatenate(panels, axis=1))
 
 
+# Reuse one jit object per (model, tex_module, cfg, sign, raster_opts)
+# across validation calls — a fresh lambda each call would retrace and
+# recompile the full render every save_interval (minutes per stage at f3c
+# scale). Values keep strong refs to model/tex_module so an id() can never
+# be recycled while its cache entry is alive.
+_JIT_CACHE: Dict = {}
+
+
+def _freeze_opts(raster_opts):
+    return (None if raster_opts is None
+            else tuple(sorted(raster_opts.items())))
+
+
+def _cached_jit(tag, model, tex_module, key_extra, builder):
+    key = (tag, id(model), id(tex_module), key_extra)
+    hit = _JIT_CACHE.get(key)
+    if hit is not None and hit[0] is model and hit[1] is tex_module:
+        return hit[2]
+    fn = builder()
+    _JIT_CACHE[key] = (model, tex_module, fn)
+    return fn
+
+
 def validate_stage(key, model: GeometryModel, params: Dict, tex_module,
                    target: Dict, cfg: Config, msdf_sign: float = 1.0,
                    raster_opts=None, return_buffers: bool = False):
@@ -64,12 +87,17 @@ def validate_stage(key, model: GeometryModel, params: Dict, tex_module,
     # compile grinds/413s on the upload (hung the first full-scale parity
     # run for 45 minutes at the first validation)
     consts = model.consts()
-    _, buffers = jax.jit(
-        lambda c, g, p, m, t, k: render_stage_mesh(
-            k, model.bind(c), g, p, tex_module, m, t, cfg,
-            msdf_sign=msdf_sign, raster_opts=raster_opts, compact=False)
-    )(consts, params["geometry"], params["pose"], params["material"],
-      target, key)
+    render_j = _cached_jit(
+        "stage", model, tex_module,
+        (cfg, msdf_sign, _freeze_opts(raster_opts)),
+        lambda: jax.jit(
+            lambda c, g, p, m, t, k: render_stage_mesh(
+                k, model.bind(c), g, p, tex_module, m, t, cfg,
+                msdf_sign=msdf_sign, raster_opts=raster_opts,
+                compact=False)))
+    _, buffers = render_j(
+        consts, params["geometry"], params["pose"], params["material"],
+        target, key)
     strip = validation_strip(buffers, target)
     if return_buffers:
         return strip, buffers
@@ -106,7 +134,9 @@ def validate_split_stage(key, model: GeometryModel, params: Dict, tex_module,
             msdf_sign=sign, raster_opts=raster_opts, compact=False)
         return buf
 
-    render_j = jax.jit(_render, static_argnames=("sign",))
+    render_j = _cached_jit(
+        "split", model, tex_module, (cfg, _freeze_opts(raster_opts)),
+        lambda: jax.jit(_render, static_argnames=("sign",)))
     args = (consts, params["geometry"], params["pose"], params["material"],
             target, key)
     buf_cloth = render_j(*args, sign=1.0)

@@ -126,3 +126,28 @@ def test_split_stage_runs(setup):
     assert np.isfinite(float(aux["total"]))
     assert float(aux["cloth_msk_loss"]) >= 0
     assert float(aux["body_msk_loss"]) >= 0
+
+
+def test_validate_stage_jit_cache_reused(setup):
+    """validate_stage must reuse one compiled render across calls (a fresh
+    jit per validation recompiles the full render every save_interval)."""
+    from d3human_tpu.train import validate as V
+
+    cfg, scene, model, gparams, _ = setup
+    tex = MLPTexture3D(cfg.texture, (jnp.zeros((6,)), jnp.ones((6,))))
+    key = jax.random.PRNGKey(7)
+    params = {
+        "geometry": gparams,
+        "pose": jax.tree.map(jnp.asarray, scene.pose_params),
+        "material": tex.init(key),
+    }
+    target = scene.frame_target(0)
+    V._JIT_CACHE.clear()
+    s1 = V.validate_stage(key, model, params, tex, target, cfg)
+    n1 = len(V._JIT_CACHE)
+    s2 = V.validate_stage(key, model, params, tex, target, cfg)
+    assert len(V._JIT_CACHE) == n1 == 1
+    np.testing.assert_array_equal(s1, s2)
+    # a different sign is a different entry
+    V.validate_stage(key, model, params, tex, target, cfg, msdf_sign=-1.0)
+    assert len(V._JIT_CACHE) == 2
