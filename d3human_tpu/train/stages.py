@@ -103,11 +103,19 @@ def run_stage(
               f"iou={metrics['mask_iou']:.4f}", flush=True)
         return metrics
 
+    # device sync every SYNC_EVERY iters, not every iter: a per-iteration
+    # block_until_ready costs one axon RTT per step and serializes host-side
+    # batch prep against device compute; the bound keeps the in-flight
+    # dispatch queue (h2d target uploads) to ~10 steps.
+    SYNC_EVERY = 10
+    timer.start()
     for it in range(start_it, n_iters):
         target = next_target(it)
-        timer.start()
         state, aux = step_fn(state, target, jax.random.fold_in(key, it))
-        timer.stop(aux["total"])
+        timer.lap()
+        if (it % SYNC_EVERY == 0 or it % cfg.stages.log_interval == 0
+                or it == n_iters - 1):
+            timer.flush(aux["total"])
 
         if it % cfg.stages.log_interval == 0:
             scalars = {k: float(v) for k, v in aux.items()
@@ -299,11 +307,14 @@ def run_seq_stage(
                  else cfg.stages.seq_iters_rest)
         target = frame_targets(frame)
         aux = None
+        timer.start()
         for it in range(iters):
-            timer.start()
             state, aux = step_fn(state, target,
                                  jax.random.fold_in(key, frame * 100000 + it))
-            timer.stop(aux["total"])
+            timer.lap()
+            if it % 10 == 0 or it % cfg.stages.log_interval == 0 \
+                    or it == iters - 1:
+                timer.flush(aux["total"])
             if it % cfg.stages.log_interval == 0:
                 scalars = {k: float(v) for k, v in aux.items()
                            if np.ndim(v) == 0}

@@ -63,11 +63,31 @@ class StepTimer:
 
     def start(self):
         self._t0 = time.time()
+        self._laps = 0
 
     def stop(self, result=None):
         if result is not None:
             jax.block_until_ready(result)
         self.durations.append(time.time() - self._t0)
+
+    # ---- windowed mode: sync the device every K iterations instead of
+    # every iteration. A per-iter block_until_ready costs one axon RTT per
+    # step AND serializes host work (next_target, dispatch) against device
+    # compute; windowing recovers async-dispatch pipelining while keeping
+    # the in-flight queue bounded. Per-iter time is the window average.
+    def lap(self):
+        self._laps = getattr(self, "_laps", 0) + 1
+
+    def flush(self, result=None):
+        """Sync + distribute the window's elapsed time over its laps."""
+        if self._laps == 0:
+            return
+        if result is not None:
+            jax.block_until_ready(result)
+        dt = (time.time() - self._t0) / self._laps
+        self.durations.extend([dt] * self._laps)
+        self._t0 = time.time()
+        self._laps = 0
 
     @property
     def avg_ms(self) -> float:
