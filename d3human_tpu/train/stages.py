@@ -118,8 +118,10 @@ def run_stage(
             timer.flush(aux["total"])
 
         if it % cfg.stages.log_interval == 0:
-            scalars = {k: float(v) for k, v in aux.items()
-                       if np.ndim(v) == 0}
+            # ONE device_get for all scalars (a float() per key costs
+            # one tunnel round-trip each)
+            scalars = {k: float(v) for k, v in jax.device_get(
+                {k: v for k, v in aux.items() if np.ndim(v) == 0}).items()}
             scalars["time_ms"] = timer.avg_ms
             logger.log(it, scalars)
             print(f"[{stage}] iter={it:5d} total={scalars['total']:.4f} "
@@ -316,8 +318,9 @@ def run_seq_stage(
                     or it == iters - 1:
                 timer.flush(aux["total"])
             if it % cfg.stages.log_interval == 0:
-                scalars = {k: float(v) for k, v in aux.items()
-                           if np.ndim(v) == 0}
+                scalars = {k: float(v) for k, v in jax.device_get(
+                    {k: v for k, v in aux.items()
+                     if np.ndim(v) == 0}).items()}
                 scalars["time_ms"] = timer.avg_ms
                 logger.log(frame * 100000 + it, scalars)
                 print(f"[seq] frame={frame} iter={it:4d} "
