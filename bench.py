@@ -80,8 +80,10 @@ def _preflight_tunnel():
         sys.exit(1)
 
 
-_reap_training_stack()
-_preflight_tunnel()
+# NOTE: reap + preflight run from main(), NOT at import — importing bench
+# (e.g. from the test suite's build-guard) must never SIGTERM the live
+# unattended training stack (this exact accident killed a parity watchdog
+# mid-round; the pid files are real even when the import is innocent).
 
 
 def build(scale: str):
@@ -291,6 +293,8 @@ def build_seq(scale: str):
 
 
 def main():
+    _reap_training_stack()
+    _preflight_tunnel()
     scale = os.environ.get("BENCH_SCALE", "full")
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))

@@ -39,15 +39,28 @@ while kill -0 "$(cat /tmp/watchdog.pid 2>/dev/null)" 2>/dev/null; do
 done
 echo "[queue] parity watchdog exited"
 
-# refresh the committed parity record from the finished run
-if [ -f out/parity_r03d/PARITY.json ]; then
-    cp out/parity_r03d/PARITY.json PARITY_r03.json
-fi
+# Incremental evidence collection: commit after EVERY milestone so a
+# driver-side reap (bench.py kills this queue before its round-end bench)
+# loses nothing already measured.
+collect() {
+    cp -f out/parity_r03d/PARITY.json PARITY_r03.json 2>/dev/null
+    cp -f out/parity_r03d/PARITY_MULTIVIEW.json PARITY_MULTIVIEW_r03.json \
+        2>/dev/null
+    for f in bench_full bench_noshade bench_rbg bench_rbg_noshade \
+             bench_seq bench_split bench_seq_staticw; do
+        [ -s /tmp/$f.json ] && cp -f /tmp/$f.json BENCH_VARIANTS_$f.json
+    done
+    git add PARITY_r03.json PARITY_MULTIVIEW_r03.json AB_BACKBONE.json \
+        BENCH_VARIANTS_*.json 2>/dev/null
+    git commit -q -m "Round-3 unattended evidence: $1" 2>/dev/null || true
+}
+collect "4-stage parity run complete" 
 
 echo "[queue] backbone quality A/B (conv/pyramid/none/bf16 at the stable config)"
 tpu_job /tmp/ab_backbone.log /tmp/ab_backbone.err \
     python scripts/ab_init_arms.py --iters 1000 --arms conv,pyramid,none,bf16 \
     --n-frames 64 --shuffle --out AB_BACKBONE.json
+collect "backbone A/B" 
 
 echo "[queue] bench variants"
 tpu_job /tmp/bench_full.json    /tmp/bench_full.log    \
@@ -64,6 +77,7 @@ tpu_job /tmp/bench_split.json   /tmp/bench_split.log   \
     env BENCH_STAGE=split python bench.py
 tpu_job /tmp/bench_seq_staticw.json /tmp/bench_seq_staticw.log \
     env BENCH_SCALE=seq BENCH_SEQ_STATICW=1 python bench.py
+collect "bench variants" 
 
 echo "[queue] fresh perf breakdown (feeds the next lever round)"
 tpu_job /tmp/profile_step.log /tmp/profile_step.log.err \
@@ -78,14 +92,5 @@ D3H_PLATFORM=cpu python scripts/eval_parity.py \
     > /tmp/rescore_final.log 2>&1
 
 echo "[queue] collect evidence into the repo"
-cp -f out/parity_r03d/PARITY.json PARITY_r03.json 2>/dev/null
-cp -f out/parity_r03d/PARITY_MULTIVIEW.json PARITY_MULTIVIEW_r03.json \
-    2>/dev/null
-for f in bench_full bench_noshade bench_rbg bench_rbg_noshade bench_seq bench_split bench_seq_staticw; do
-    [ -s /tmp/$f.json ] && cp -f /tmp/$f.json BENCH_VARIANTS_$f.json
-done
-git add -A PARITY_r03.json PARITY_MULTIVIEW_r03.json AB_BACKBONE.json \
-    BENCH_VARIANTS_*.json 2>/dev/null
-git commit -q -m "Round-3 unattended evidence: full 4-stage parity, multi-view rescore, backbone A/B, bench variants" \
-    2>/dev/null || true
+collect "full 4-stage parity, multi-view rescore, backbone A/B, bench variants"
 echo "[queue] done"

@@ -117,3 +117,20 @@ def test_bench_build_split_stage_constructs(monkeypatch):
         assert k in target, k
     assert target["cloth_img"].shape[-1] == 4
     assert callable(step_fn)
+
+
+def test_bench_import_has_no_reap_side_effects():
+    """Importing bench must never SIGTERM the unattended training stack:
+    the reap + tunnel preflight may only be invoked from main() (a bare
+    module-level call killed a live parity watchdog when the test suite
+    imported bench)."""
+    src = open(os.path.join(REPO, "bench.py")).read()
+    tree = ast.parse(src)
+    offenders = []
+    for node in tree.body:                     # module top level only
+        if isinstance(node, ast.Expr) and isinstance(node.value, ast.Call):
+            f = node.value.func
+            name = getattr(f, "id", getattr(f, "attr", ""))
+            if name in ("_reap_training_stack", "_preflight_tunnel"):
+                offenders.append(name)
+    assert not offenders, offenders
