@@ -89,3 +89,46 @@ def test_dp_step_grads_equal_serial_mean():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_run_seq_stage_parallel_artifacts(tmp_path):
+    """The frame-parallel seq CLI driver must write the serial driver's
+    artifact format (delta/<f>.npz + fine_all_<f>.ply + loss_log) so parity
+    tooling is driver-agnostic; regression for the per-frame export jit."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from d3human_tpu.models.geometry import SeqTemplate
+    from d3human_tpu.ops.mesh_ops import find_connected_faces
+    from d3human_tpu.train.stages import run_seq_stage_parallel
+
+    cfg, scene, model, tex, perceptual, perc_params, params = \
+        ge._small_setup(n_frames=2)
+    cfg = dataclasses.replace(cfg, stages=dataclasses.replace(
+        cfg.stages, seq_iters_first=2, seq_max_frames=3, log_interval=1))
+    v = np.asarray(scene.model.v_template)
+    f = np.asarray(scene.model.faces)
+    labels = scene.garment_faces
+    vl = np.zeros(len(v), np.int64)
+    vl[np.unique(f[labels == 1])] = 1
+    connected, _ = find_connected_faces(f)
+    template = SeqTemplate(
+        v=jnp.asarray(v), f=jnp.asarray(f, jnp.int32),
+        v_labels=jnp.asarray(vl),
+        face_labels=jnp.asarray(labels, jnp.int32),
+        body_vidx=jnp.asarray(np.nonzero(vl == 0)[0], jnp.int32),
+        cloth_vidx=jnp.asarray(np.nonzero(vl == 1)[0], jnp.int32),
+        body_f=jnp.asarray(f[labels == 0], jnp.int32),
+        connected_faces=jnp.asarray(connected, jnp.int32),
+    )
+    out = str(tmp_path / "seq")
+    run_seq_stage_parallel(
+        params, template, lambda i: scene.frame_target(i), n_frames=3,
+        cfg=cfg, save_path=out, key=jax.random.PRNGKey(0), model=model,
+        tex_module=tex, perceptual=perceptual, perc_params=perc_params,
+        n_devices=2)
+    import os
+    for fr in range(3):
+        assert os.path.exists(os.path.join(out, "delta", f"{fr}.npz")), fr
+        assert os.path.exists(os.path.join(out, f"fine_all_{fr}.ply")), fr
+    assert os.path.exists(os.path.join(out, "loss_log", "scalars.jsonl"))
