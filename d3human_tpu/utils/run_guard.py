@@ -18,12 +18,16 @@ import sys
 import time
 
 # order matters: queue first (so it cannot launch the next job), then the
-# watchdog (its SIGTERM handler kills its child), then stragglers
+# watchdog (its SIGTERM handler kills its child), then stragglers, then
+# the host-CPU arbitration pair (scripts/cpu_yield.py + the CPU insurance
+# run it freezes) — the bench wants a quiet host core, not just a free TPU
 PID_FILES = (
     "/tmp/queue.pid",
     "/tmp/watchdog.pid",
     "/tmp/watchdog_child.pid",
     "/tmp/tpu_job.pid",
+    "/tmp/cpu_yield.pid",
+    "/tmp/cpu_insurance.pid",
 )
 
 
@@ -49,6 +53,14 @@ def reap_training_stack(pid_files=PID_FILES, wait_s: float = 25.0,
             os.kill(pid, signal.SIGTERM)
         except (ProcessLookupError, PermissionError):
             continue
+        try:
+            # a SIGSTOPped target (cpu_yield freezes the insurance run
+            # while a TPU client is live) never delivers the SIGTERM;
+            # SIGCONT wakes it so it actually exits instead of lingering
+            # frozen with the signal pending
+            os.kill(pid, signal.SIGCONT)
+        except (ProcessLookupError, PermissionError):
+            pass
         reaped.append(pid)
         print(f"[run_guard] reaped {pf} pid={pid} (one-TPU-process rule)",
               file=log, flush=True)

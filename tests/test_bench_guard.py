@@ -134,3 +134,54 @@ def test_bench_import_has_no_reap_side_effects():
             if name in ("_reap_training_stack", "_preflight_tunnel"):
                 offenders.append(name)
     assert not offenders, offenders
+
+
+def test_reap_wakes_sigstopped_victim(tmp_path):
+    """A SIGSTOPped victim (the cpu_yield daemon freezes the CPU insurance
+    run while a TPU client is live) has SIGTERM left pending, not
+    delivered; reap_training_stack must SIGCONT it afterwards so it wakes
+    and exits instead of lingering frozen across the driver's bench."""
+    import signal as _sig
+    import subprocess
+    import time as _t
+
+    from d3human_tpu.utils.run_guard import reap_training_stack
+
+    victim = subprocess.Popen([sys.executable, "-c",
+                               "import time; time.sleep(300)"])
+    _t.sleep(0.3)                       # let the interpreter boot
+    os.kill(victim.pid, _sig.SIGSTOP)
+    f_victim = tmp_path / "frozen.pid"
+    f_victim.write_text(str(victim.pid))
+
+    reaped = reap_training_stack(pid_files=(str(f_victim),), wait_s=0.0,
+                                 log=sys.stderr)
+    assert reaped == [victim.pid]
+    t0 = _t.time()
+    while victim.poll() is None and _t.time() - t0 < 10:
+        _t.sleep(0.1)
+    assert victim.poll() is not None, "frozen victim never exited"
+
+
+def test_cpu_yield_decision_and_pid_helpers(tmp_path):
+    """scripts/cpu_yield.py arbitration primitives: stopped iff a TPU
+    holder is alive; pid-file parsing tolerates junk/missing files."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        import cpu_yield
+    finally:
+        sys.path.pop(0)
+
+    assert cpu_yield.desired_state(True) == "stopped"
+    assert cpu_yield.desired_state(False) == "running"
+
+    good = tmp_path / "good.pid"
+    good.write_text(str(os.getpid()))
+    junk = tmp_path / "junk.pid"
+    junk.write_text("nope")
+    assert cpu_yield.read_pid(str(good)) == os.getpid()
+    assert cpu_yield.read_pid(str(junk)) is None
+    assert cpu_yield.read_pid(str(tmp_path / "missing.pid")) is None
+    assert cpu_yield.pid_alive(os.getpid())
+    assert not cpu_yield.pid_alive(None)
+    assert not cpu_yield.pid_alive(999999999)
