@@ -71,12 +71,28 @@ def _preflight_tunnel():
             import axon.register  # noqa: F401
         except Exception:
             return  # not an axon image; let jax pick its own backend
-        print(json.dumps({
+        out = {
             "metric": "init_step_iters_per_sec", "value": 0.0,
             "unit": "iters/s", "vs_baseline": 0.0,
             "error": "axon TPU tunnel relay (:8082) is dead; "
                      "bench aborted before backend init to avoid hanging",
-        }))
+        }
+        # point at the most recent REAL chip measurement so a tunnel
+        # outage at round end doesn't erase the round's perf evidence
+        # (value stays 0.0 — the stale number is provenance, not a claim)
+        mid = os.path.join(REPO, "BENCH_MIDROUND_r03.json")
+        try:
+            with open(mid) as f:
+                prev = json.load(f)
+            out["last_measured_on_tpu"] = {
+                "file": os.path.basename(mid),
+                "value": prev.get("value"),
+                "unit": prev.get("unit"),
+                "vs_baseline": prev.get("vs_baseline"),
+            }
+        except (OSError, ValueError):
+            pass
+        print(json.dumps(out))
         sys.exit(1)
 
 
