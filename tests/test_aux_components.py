@@ -248,3 +248,49 @@ def test_grid_atlas_and_uv_obj(tmp_path):
     v2, f2 = load_obj(p)
     np.testing.assert_allclose(v2, verts, atol=1e-5)
     assert (np.asarray(f2) == faces).all()
+
+
+def test_tetrahedralize_delaunay_quality():
+    """TetGen-parity mesher (ref get_tet_smpl.py:12-19): body-conforming
+    Delaunay with the maxvolume refinement loop — volume bound enforced,
+    interior fully covered, all tets inside the surface."""
+    from d3human_tpu.ops.mesh_sdf import mesh_sdf_host
+    from d3human_tpu.pipeline.tetrahedralize import (
+        _tet_volumes, tetrahedralize_delaunay)
+    from tests.test_pipeline import icosphere
+
+    v, f = icosphere(radius=0.4, n=3)
+    max_vol = 2e-4
+    tv, tt = tetrahedralize_delaunay(v, f, max_volume=max_vol,
+                                     refine_iters=3)
+    assert len(tt) > 1000
+    vol = _tet_volumes(tv.astype(np.float64), tt)
+    assert vol.max() <= max_vol * 1.05, "maxvolume refinement failed"
+    sphere_vol = 4 / 3 * np.pi * 0.4 ** 3
+    # unlike the lattice crust, the Delaunay mesh is body-CONFORMING:
+    # total volume matches the sphere from below, tightly
+    assert 0.90 * sphere_vol < vol.sum() <= sphere_vol * 1.001
+    cen = tv[tt].mean(axis=1)
+    s = mesh_sdf_host(cen, v, f, sign_convention="pos_inside")
+    assert (s > 0).all(), "exterior tet survived the inside filter"
+    # no vertex escapes the surface (samples are surface pts or interior)
+    assert np.linalg.norm(tv, axis=1).max() < 0.4 + 1e-4
+
+
+def test_get_tet_mesh_file_parity(tmp_path):
+    """get_tet_mesh writes the reference's npz product ({v, f}) plus the
+    sibling .obj dump (ref get_tet_smpl.py:22-26)."""
+    from d3human_tpu.pipeline.tetrahedralize import get_tet_mesh
+    from d3human_tpu.utils.io import write_obj
+    from tests.test_pipeline import icosphere
+
+    v, f = icosphere(radius=0.3, n=2)
+    mesh_p = str(tmp_path / "surf.obj")
+    write_obj(mesh_p, v, f)
+    npz_p = str(tmp_path / "tet.npz")
+    tv, tt = get_tet_mesh(mesh_p, npz_p, max_volume=1e-3)
+    d = np.load(npz_p)
+    assert d["v"].dtype == np.float32
+    np.testing.assert_array_equal(d["f"], tt)
+    assert (tmp_path / "tet.obj").exists()
+    assert d["f"].max() < len(d["v"])
