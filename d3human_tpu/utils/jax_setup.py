@@ -11,6 +11,25 @@ import os
 import jax
 
 
+def _axon_tunnel_dead(port: int = 8082, timeout_s: float = 3.0) -> bool:
+    """True only when this IS an axon image (the TPU plugin is importable)
+    and the tunnel's host relay port refuses connections — the state in
+    which the first jax backend init hangs forever."""
+    import socket
+
+    try:
+        socket.create_connection(("127.0.0.1", port), timeout=timeout_s
+                                 ).close()
+        return False
+    except OSError:
+        pass
+    try:
+        import axon.register  # noqa: F401
+    except Exception:
+        return False        # not an axon image: nothing to guard
+    return True
+
+
 def setup(cache_dir: str | None = None) -> None:
     cache_dir = cache_dir or os.environ.get(
         "D3H_JAX_CACHE", os.path.join(os.path.dirname(
@@ -33,6 +52,19 @@ def setup(cache_dir: str | None = None) -> None:
                 jax.config.update("jax_num_cpu_devices", int(n))
         except RuntimeError as e:
             print(f"[jax_setup] platform override failed: {e}")
+    elif _axon_tunnel_dead():
+        # Observed twice in round 3: the axon TPU tunnel's host relay dies
+        # and the FIRST backend init then blocks forever in a futex wait.
+        # `import jax` is safe; jax.devices() is not. Falling back to CPU
+        # (loudly) keeps compile checks and host tooling alive instead of
+        # hanging the calling process.
+        print("[jax_setup] WARNING: axon TPU relay (:8082) is dead; "
+              "forcing the CPU backend so backend init cannot hang. "
+              "Unset nothing — this clears itself when the tunnel returns.")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError as e:
+            print(f"[jax_setup] cpu fallback failed: {e}")
     # PRNG impl: threefry (the JAX default) costs real time on TPU for the
     # per-pixel jitter noise (PERF.md key-dependent ~225 ms bucket); rbg
     # lowers to the hardware RNG. Opt-in via D3H_PRNG=rbg — jitter noise

@@ -185,3 +185,29 @@ def test_cpu_yield_decision_and_pid_helpers(tmp_path):
     assert cpu_yield.pid_alive(os.getpid())
     assert not cpu_yield.pid_alive(None)
     assert not cpu_yield.pid_alive(999999999)
+
+
+def test_axon_tunnel_dead_probe():
+    """jax_setup's dead-tunnel guard: False when something listens on the
+    probed port (tunnel alive); on a closed port it may only be True if
+    the axon plugin is importable (never forces CPU off-axon)."""
+    import socket
+
+    from d3human_tpu.utils.jax_setup import _axon_tunnel_dead
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    try:
+        assert _axon_tunnel_dead(port=port, timeout_s=1.0) is False
+    finally:
+        srv.close()
+
+    # closed port: result depends on axon presence, but must match it
+    try:
+        import axon.register  # noqa: F401
+        has_axon = True
+    except Exception:
+        has_axon = False
+    assert _axon_tunnel_dead(port=port, timeout_s=0.5) is has_axon
