@@ -26,6 +26,7 @@ PID_FILES = (
     "/tmp/watchdog.pid",
     "/tmp/watchdog_child.pid",
     "/tmp/tpu_job.pid",
+    "/tmp/cpu_guard.pid",      # before the trainer: it relaunches on exit
     "/tmp/cpu_yield.pid",
     "/tmp/cpu_insurance.pid",
 )

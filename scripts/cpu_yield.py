@@ -65,12 +65,11 @@ def desired_state(tpu_holder_alive: bool) -> str:
 
 
 def main(poll_s: float = 15.0) -> int:
+    # The insurance pid FILE is re-read every poll: a completion guard
+    # (scripts/m512_guard.sh) may relaunch the CPU run with a new pid, and
+    # this daemon must keep arbitrating across those generations rather
+    # than exit with the first one.
     ins = read_pid(INSURANCE_PID_FILE)
-    if not pid_alive(ins):
-        print(f"[cpu_yield] no live insurance pid in {INSURANCE_PID_FILE}",
-              flush=True)
-        return 1
-
     state = "running"
 
     def _bail(signum, frame):
@@ -80,12 +79,17 @@ def main(poll_s: float = 15.0) -> int:
         sys.exit(0)
 
     signal.signal(signal.SIGTERM, _bail)
-    print(f"[cpu_yield] arbitrating insurance pid={ins}", flush=True)
+    print(f"[cpu_yield] arbitrating insurance pid file "
+          f"{INSURANCE_PID_FILE} (current={ins})", flush=True)
 
     while True:
+        cur = read_pid(INSURANCE_PID_FILE)
+        if cur != ins:
+            print(f"[cpu_yield] insurance pid {ins} -> {cur}", flush=True)
+            ins, state = cur, "running"   # a fresh process starts running
         if not pid_alive(ins):
-            print("[cpu_yield] insurance run exited; done", flush=True)
-            return 0
+            time.sleep(poll_s)            # idle until the guard relaunches
+            continue
         holder = any(pid_alive(read_pid(p)) for p in TPU_HOLDER_PID_FILES)
         want = desired_state(holder)
         if want != state:
