@@ -130,10 +130,23 @@ def build(scale: str):
     # loss-bit-identical by tests/test_golden_losses.py. Default keeps the
     # reference-equivalent workload.
     shading = os.environ.get("BENCH_SHADING", "on") != "off"
+    # BENCH_BF16=1 flips the field-MLP hidden layers to bfloat16 — the
+    # reference's FLAGS.use_float16 analogue, OFF by default there too
+    # (ref train.py:1626). Speed capture only; a default flip is gated on
+    # the AB_BACKBONE bf16 quality arm.
+    from d3human_tpu.config import FieldConfig
+    bf16 = os.environ.get("BENCH_BF16", "0") == "1"
+    # BENCH_JITTER=<n> overrides render.jitter_subsample (texture jitter
+    # taps are part of the ~225 ms key-dependent render work; higher
+    # subsample = fewer taps).
+    jit_sub = int(os.environ.get("BENCH_JITTER", "0") or "0")
+    render_kw = dict(train_res=res, texture_res=res, init_shading=shading)
+    if jit_sub:
+        render_kw["jitter_subsample"] = jit_sub
     cfg = Config(
+        field=FieldConfig(use_bfloat16=bf16),
         geometry=GeometryConfig(grid_res=grid_res, max_verts=mv, max_tets=mt),
-        render=RenderConfig(train_res=res, texture_res=res,
-                            init_shading=shading),
+        render=RenderConfig(**render_kw),
         stages=StageConfig(init_epoch=2001),
     )
     scene = make_scene(resolution=(64, 64), n_frames=2)  # poses/camera only

@@ -47,7 +47,8 @@ collect() {
     cp -f out/parity_r03d/PARITY_MULTIVIEW.json PARITY_MULTIVIEW_r03.json \
         2>/dev/null
     for f in bench_full bench_noshade bench_rbg bench_rbg_noshade \
-             bench_seq bench_split bench_seq_staticw; do
+             bench_seq bench_split bench_seq_staticw \
+             bench_bf16 bench_jitter4 bench_best; do
         [ -s /tmp/$f.json ] && cp -f /tmp/$f.json BENCH_VARIANTS_$f.json
     done
     git add PARITY_r03.json PARITY_MULTIVIEW_r03.json AB_BACKBONE.json \
@@ -77,7 +78,13 @@ tpu_job /tmp/bench_split.json   /tmp/bench_split.log   \
     env BENCH_STAGE=split python bench.py
 tpu_job /tmp/bench_seq_staticw.json /tmp/bench_seq_staticw.log \
     env BENCH_SCALE=seq BENCH_SEQ_STATICW=1 python bench.py
-collect "bench variants" 
+tpu_job /tmp/bench_bf16.json    /tmp/bench_bf16.log    \
+    env BENCH_BF16=1 python bench.py
+tpu_job /tmp/bench_jitter4.json /tmp/bench_jitter4.log \
+    env BENCH_JITTER=4 python bench.py
+tpu_job /tmp/bench_best.json    /tmp/bench_best.log    \
+    env D3H_PRNG=rbg BENCH_SHADING=off BENCH_JITTER=4 python bench.py
+collect "bench variants"
 
 echo "[queue] fresh perf breakdown (feeds the next lever round)"
 tpu_job /tmp/profile_step.log /tmp/profile_step.log.err \

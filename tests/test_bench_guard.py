@@ -119,6 +119,21 @@ def test_bench_build_split_stage_constructs(monkeypatch):
     assert callable(step_fn)
 
 
+def test_bench_bf16_jitter_knobs_construct(monkeypatch):
+    """BENCH_BF16=1 / BENCH_JITTER=4 must build: these env knobs reach into
+    FieldConfig.use_bfloat16 and RenderConfig.jitter_subsample; a rename of
+    either field would otherwise only fail on TPU (the r2 lesson)."""
+    monkeypatch.setenv("BENCH_BF16", "1")
+    monkeypatch.setenv("BENCH_JITTER", "4")
+    monkeypatch.setenv("D3H_PLATFORM", "cpu")
+    import bench
+
+    state, step_fn, target, extras = bench.build("small")
+    assert extras["cfg"].field.use_bfloat16 is True
+    assert extras["cfg"].render.jitter_subsample == 4
+    assert callable(step_fn)
+
+
 def test_bench_import_has_no_reap_side_effects():
     """Importing bench must never SIGTERM the unattended training stack:
     the reap + tunnel preflight may only be invoked from main() (a bare
