@@ -123,7 +123,20 @@ def validate_split_stage(key, model: GeometryModel, params: Dict, tex_module,
     (0.79) was this measurement artifact, not model quality.
 
     Returns (strip, metrics) where metrics carries the union psnr/mask_iou
-    plus per-half IoUs vs the half GT masks."""
+    plus per-half IoUs vs the half GT masks.
+
+    Reading the per-half IoUs: they have STRUCTURAL floors and are not a
+    convergence measure on their own. (a) The body half renders the
+    cloth-occluded torso (a body-only render has no cloth to occlude it)
+    while the GT body mask contains only the VISIBLE body — the reference
+    trains against exactly this mismatch (hmsdf.py:941-950: each half's
+    full silhouette vs the visible-part mask), so a perfectly converged
+    body half still scores IoU ~= visible/full area ratio. (b) In
+    split_smpl the geometry is the tight SMPL template; its cloth-labelled
+    region cannot reproduce a loose garment's silhouette, capping the
+    split_smpl cloth IoU by garment looseness. Union mask_iou is the
+    convergence bar (>=0.95 multiview on the synthetic capture); part
+    IoUs become meaningful for cloth only at the split stage."""
     from d3human_tpu.utils.metrics import iou, psnr
 
     consts = model.consts()

@@ -94,6 +94,7 @@ def main():
         split_mode = stage.startswith("split")
 
         ious, psnrs = [], []
+        part_ious = {"body": [], "cloth": []}
         step = max(1, scene.n_frames // args.n_views)
         for fi in range(0, scene.n_frames, step):
             t = scene.frame_target(fi)
@@ -103,6 +104,9 @@ def main():
                                             cfg)
                 ious.append(float(m["mask_iou"]))
                 psnrs.append(float(m["psnr"]))
+                for part in ("body", "cloth"):
+                    if f"{part}_iou" in m:
+                        part_ious[part].append(float(m[f"{part}_iou"]))
             else:
                 _, buf = validate_stage(k, model, state.params, tex, t, cfg,
                                         return_buffers=True)
@@ -124,6 +128,19 @@ def main():
             "iou_min": round(float(np.min(ious)), 4),
             "psnr_mean": round(float(np.mean(psnrs)), 2),
         }
+        # Per-part silhouette IoUs (split stages). NOTE the structural
+        # floors, matching reference semantics (hmsdf.py:941-950 compares
+        # each half's FULL silhouette against the VISIBLE-part mask):
+        # the body half renders the cloth-occluded torso, and in
+        # split_smpl the tight SMPL cloth region cannot match a loose
+        # garment silhouette — so split_smpl part IoUs sit low by
+        # construction while union IoU is the convergence measure. The
+        # split stage (real geometry) is where part IoUs become
+        # meaningful for cloth; body keeps the occlusion floor.
+        for part, vals in part_ious.items():
+            if vals:
+                out[stage][f"{part}_iou_mean"] = round(
+                    float(np.mean(vals)), 4)
         path = os.path.join(cfg.out_dir, "PARITY_MULTIVIEW.json")
         with open(path, "w") as fh:
             json.dump(out, fh, indent=1)
