@@ -47,6 +47,38 @@ def log_age_s(path: str) -> float:
         return 0.0
 
 
+def proc_tree_cpu_s(pid: int) -> float:
+    """Cumulative CPU seconds (utime+stime) of ``pid`` AND its children,
+    from /proc. The observed wedge (dead tunnel RPC stream) parks the
+    trainer in a futex wait at 0% CPU; a long XLA compile of a full-scale
+    step burns 100% host CPU for 10-20 min with zero log output. CPU-clock
+    advance is the discriminator — a stale log alone is NOT a stall (this
+    false-positive killed a full-scale compile mid-flight in r3).
+
+    Children matter because the training command may be a wrapper (bash,
+    timeout) around the real python process."""
+    hz = os.sysconf("SC_CLK_TCK")
+    total = 0.0
+    pids = [pid]
+    seen = set()
+    while pids:
+        p = pids.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            # fields after comm: state is parts[0]; utime/stime are 14/15
+            # 1-indexed in proc(5) -> parts[11]/parts[12] here
+            total += (int(parts[11]) + int(parts[12])) / hz
+            with open(f"/proc/{p}/task/{p}/children") as f:
+                pids.extend(int(c) for c in f.read().split())
+        except (OSError, IndexError, ValueError):
+            continue
+    return total
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--log", required=True, help="training stdout/stderr log")
@@ -54,6 +86,9 @@ def main():
     p.add_argument("--tunnel-port", type=int, default=8082,
                    help="axon relay port (0 disables the tunnel check)")
     p.add_argument("--poll-s", type=float, default=30.0)
+    p.add_argument("--stall-cpu-s", type=float, default=5.0,
+                   help="minimum CPU-seconds the child tree must accrue "
+                        "per staleness window to count as alive")
     p.add_argument("--max-restarts", type=int, default=20)
     p.add_argument("--child-pid-file", default="/tmp/watchdog_child.pid",
                    help="records the live training child's pid so the "
@@ -111,6 +146,7 @@ def main():
             print(f"[watchdog] launched pid={proc.pid} (restart {restarts})",
                   flush=True)
             restarts += 1
+            cpu_mark = (0.0, time.time())   # (cpu_s at mark, wall at mark)
             time.sleep(args.poll_s)
             continue
 
@@ -126,10 +162,17 @@ def main():
             proc = None
             continue
 
-        stale = log_age_s(args.log) > args.stale_min * 60
+        # Stall = stale log AND a stopped CPU clock. A busy child (XLA
+        # compile, host-side mesh surgery) keeps its CPU clock advancing
+        # even when it logs nothing; the wedge signature is 0% CPU.
+        cpu_now = proc_tree_cpu_s(proc.pid)
+        if cpu_now - cpu_mark[0] >= args.stall_cpu_s:
+            cpu_mark = (cpu_now, time.time())
+        cpu_stopped = time.time() - cpu_mark[1] > args.stale_min * 60
+        stale = log_age_s(args.log) > args.stale_min * 60 and cpu_stopped
         dead_tunnel = args.tunnel_port and not tunnel_alive(args.tunnel_port)
         if stale or dead_tunnel:
-            why = "stale log" if stale else "tunnel down"
+            why = "stale log + stopped cpu clock" if stale else "tunnel down"
             print(f"[watchdog] {why}; killing pid={proc.pid}", flush=True)
             proc.send_signal(signal.SIGTERM)
             try:

@@ -141,3 +141,64 @@ def test_watchdog_sigterm_kills_child(tmp_path):
             break
     with pytest.raises(ProcessLookupError):
         os.kill(child, 0)
+
+
+def test_watchdog_busy_child_is_not_a_stall(tmp_path):
+    """The r3 false-positive: a full-scale XLA compile logs nothing for
+    >stale-min but burns host CPU the whole time; the watchdog must NOT
+    kill it. Conversely the real wedge signature (futex wait at 0% CPU
+    with a stale log) must still trip. proc_tree_cpu_s is the
+    discriminator; this exercises it on both kinds of child."""
+    import time
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from watchdog_train import proc_tree_cpu_s
+
+    # busy child: CPU clock advances
+    busy = subprocess.Popen(
+        [sys.executable, "-c",
+         "t=__import__('time');e=t.time()+8\n"
+         "x=0\nwhile t.time()<e: x+=1"])
+    try:
+        c0 = proc_tree_cpu_s(busy.pid)
+        time.sleep(1.5)
+        c1 = proc_tree_cpu_s(busy.pid)
+        assert c1 - c0 > 0.5, "busy child's CPU clock must advance"
+    finally:
+        busy.kill()
+        busy.wait()
+
+    # wedged child: asleep, CPU clock parked
+    idle = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(60)"])
+    try:
+        # wait out interpreter startup: poll until the clock stops moving
+        # (the single-core CI host can take seconds to reach the sleep)
+        parked = False
+        for _ in range(30):
+            c0 = proc_tree_cpu_s(idle.pid)
+            time.sleep(1.0)
+            c1 = proc_tree_cpu_s(idle.pid)
+            if c1 - c0 < 0.2:
+                parked = True
+                break
+        assert parked, "sleeping child's CPU clock must park eventually"
+    finally:
+        idle.kill()
+        idle.wait()
+
+    # end-to-end: stale log + busy child survives a tiny stale-min window
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    log = tmp_path / "w.log"
+    log.write_text("x")
+    os.utime(log, (1, 1))                  # ancient mtime = maximally stale
+    rc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "watchdog_train.py"),
+         "--log", str(log), "--tunnel-port", "0", "--poll-s", "0.3",
+         "--stale-min", "0.02", "--stall-cpu-s", "0.2", "--",
+         sys.executable, "-c",
+         "t=__import__('time');e=t.time()+4\n"
+         "x=0\nwhile t.time()<e: x+=1"],
+        timeout=60).returncode
+    assert rc == 0, "busy child must run to clean exit despite stale log"
