@@ -199,6 +199,13 @@ class StageConfig:
     # KNN + its backward from the seq hot loop; a perf lever, OFF by
     # default for exact reference parity.
     seq_static_skin_weights: bool = False
+    # Cache the synthetic GT buffers on device (fp16, ~19 MB/frame at 1080²)
+    # instead of re-rendering them with the oracle rasterizer every
+    # iteration (~0.1 s/iter; the seq stage re-renders the SAME frame
+    # 300-1000 consecutive iterations). OFF by default: fp16 GT moves
+    # golden losses and costs HBM (1.2 GiB at 64 frames); perf lever, A/B'd
+    # on hardware before any flip (data/synthetic.py:CachedTargets).
+    synthetic_target_cache: bool = False
 
 
 @dataclass(frozen=True)

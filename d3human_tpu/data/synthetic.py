@@ -109,6 +109,70 @@ class SyntheticScene:
         }
 
 
+class CachedTargets:
+    """On-device fp16 cache of the synthetic GT buffers (PERF.md lever #6).
+
+    ``SyntheticScene.frame_target`` re-renders the GT body with the
+    brute-force oracle rasterizer every call (~0.1 s at 1080² — chosen over
+    streaming ~56 MB/frame through the axon tunnel per iteration). For a
+    fixed turntable the GT is static, so cache the *compact generators* of
+    every target buffer once — rgb, alpha, garment label, normal: 8 fp16
+    channels, ~19 MB/frame at 1080², 1.2 GiB for 64 frames — and
+    reconstruct the full target dict with a few elementwise ops per step.
+    Especially effective in the seq stage, where the reference optimizes the
+    SAME frame for 300-1000 consecutive iterations (ref train.py:1349-1352).
+
+    fp16 quantization of 8-bit-ish GT images/unit normals is far below the
+    loss noise floor, but it does move golden values — the cache is OFF by
+    default (``stages.synthetic_target_cache``) and A/B'd before any flip.
+    """
+
+    def __init__(self, scene: SyntheticScene):
+        self.scene = scene
+        self.n_frames = scene.n_frames
+        pack = jax.jit(self._pack_frame)
+        # one host loop at construction (n_frames oracle renders, once per
+        # run instead of once per iteration)
+        self._cache = jnp.stack(
+            [pack(jnp.asarray(i, jnp.int32)) for i in range(scene.n_frames)])
+        self._reconstruct = jax.jit(self._reconstruct_impl)
+
+    def _pack_frame(self, frame_idx) -> jnp.ndarray:
+        t = self.scene._frame_target_impl(frame_idx)
+        rgb = t["all_img"][..., :3]
+        alpha = t["all_img"][..., 3:4]
+        # cloth_img alpha channel = labels * alpha; recover labels where
+        # covered (alpha is binary for the oracle raster)
+        labels = jnp.where(alpha > 0, t["cloth_img"][..., 3:4]
+                           / jnp.maximum(alpha, 1e-8), 0.0)
+        return jnp.concatenate(
+            [rgb, alpha, labels, t["all_normal"]], -1).astype(jnp.float16)
+
+    def _reconstruct_impl(self, packed, frame_idx) -> Dict[str, jnp.ndarray]:
+        p = packed.astype(jnp.float32)
+        rgb, alpha, labels, normal = p[..., :3], p[..., 3:4], p[..., 4:5], \
+            p[..., 5:8]
+        cloth_a = labels * alpha
+        body_a = (1.0 - labels) * alpha
+        s = self.scene
+        return {
+            "frame_idx": frame_idx,
+            "mvp": s.mvp, "mv": s.mv, "campos": s.campos,
+            "all_img": jnp.concatenate([rgb, alpha], -1),
+            "cloth_img": jnp.concatenate([rgb * cloth_a, cloth_a], -1),
+            "body_img": jnp.concatenate([rgb * body_a, body_a], -1),
+            "all_normal": normal,
+            "cloth_normal": normal * cloth_a,
+            "body_normal": normal * body_a,
+            "background": jnp.zeros((*s.resolution, 3)),
+        }
+
+    def frame_target(self, frame_idx: int, key=None) -> Dict[str, jnp.ndarray]:
+        frame_idx = int(frame_idx) % self.n_frames
+        i = jnp.asarray(frame_idx, jnp.int32)
+        return dict(self._reconstruct(self._cache[frame_idx], i))
+
+
 def make_scene(resolution=(128, 128), n_frames: int = 4,
                seed: int = 0) -> SyntheticScene:
     model = synthetic_body_model(seed=seed)

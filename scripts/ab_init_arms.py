@@ -167,8 +167,27 @@ def main():
         elif arm == "noclip":
             cfg = dataclasses.replace(cfg0, optim=dataclasses.replace(
                 cfg0.optim, clip_max_norm=0.0))
+        elif arm == "jitter4":
+            # fewer texture-jitter taps (render.jitter_subsample 2 -> 4):
+            # perf lever on the key-dependent ~225 ms bucket; quality gate
+            # for flipping the default (the taps only feed the kd/ks
+            # smoothness regularizers, ref render.py:72,102)
+            cfg = dataclasses.replace(cfg0, render=dataclasses.replace(
+                cfg0.render, jitter_subsample=4))
+        elif arm == "cache":
+            # on-device fp16 GT target cache (data/synthetic.py:
+            # CachedTargets): same losses up to fp16 GT quantization;
+            # wall-clock lever for the parity loop, quality gate here
+            cfg = dataclasses.replace(cfg0, stages=dataclasses.replace(
+                cfg0.stages, synthetic_target_cache=True))
         else:
             raise SystemExit(f"unknown arm {arm}")
+
+        get_t = scene.frame_target
+        if arm == "cache":
+            from d3human_tpu.data.synthetic import CachedTargets
+
+            get_t = CachedTargets(scene).frame_target
 
         perceptual = BACKBONES[backbone]()
         perc_params = perceptual.init()
@@ -182,7 +201,7 @@ def main():
         traj = []
         t0 = time.time()
         for it in range(args.iters):
-            target = scene.frame_target(order(it))
+            target = get_t(order(it))
             state, aux = step_fn(state, target,
                                  jax.random.fold_in(kRun, it))
             if it % 10 == 0 or it == args.iters - 1:

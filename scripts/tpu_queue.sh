@@ -55,14 +55,12 @@ collect() {
         BENCH_VARIANTS_*.json 2>/dev/null
     git commit -q -m "Round-3 unattended evidence: $1" 2>/dev/null || true
 }
-collect "4-stage parity run complete" 
+collect "4-stage parity run complete"
 
-echo "[queue] backbone quality A/B (conv/pyramid/none/bf16 at the stable config)"
-tpu_job /tmp/ab_backbone.log /tmp/ab_backbone.err \
-    python scripts/ab_init_arms.py --iters 1000 --arms conv,pyramid,none,bf16 \
-    --n-frames 64 --shuffle --out AB_BACKBONE.json
-collect "backbone A/B" 
-
+# Bench variants run FIRST (each ~5-15 min): they inform the round's
+# default-flip decisions (rbg PRNG on TPU, bf16 field MLP, jitter
+# subsample), so they must land even if the round ends mid-queue. The
+# 2h+ quality A/B follows.
 echo "[queue] bench variants"
 tpu_job /tmp/bench_full.json    /tmp/bench_full.log    \
     env python bench.py
@@ -85,6 +83,13 @@ tpu_job /tmp/bench_jitter4.json /tmp/bench_jitter4.log \
 tpu_job /tmp/bench_best.json    /tmp/bench_best.log    \
     env D3H_PRNG=rbg BENCH_SHADING=off BENCH_JITTER=4 python bench.py
 collect "bench variants"
+
+echo "[queue] backbone + lever quality A/B at the stable full-scale config"
+tpu_job /tmp/ab_backbone.log /tmp/ab_backbone.err \
+    python scripts/ab_init_arms.py --iters 1000 \
+    --arms conv,pyramid,none,bf16,jitter4,cache \
+    --n-frames 64 --shuffle --out AB_BACKBONE.json
+collect "backbone + lever A/B"
 
 echo "[queue] fresh perf breakdown (feeds the next lever round)"
 tpu_job /tmp/profile_step.log /tmp/profile_step.log.err \

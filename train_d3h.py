@@ -141,7 +141,14 @@ def main():
         n_images = scene.n_frames
         from d3human_tpu.data.dataset import shuffled_indexer
         _order = shuffled_indexer(n_images, seed=cfg.seed)
-        get_frame = scene.frame_target            # frame semantics (seq)
+        src = scene
+        if (cfg.stages.synthetic_target_cache
+                or os.environ.get("D3H_TARGET_CACHE", "") == "1"):
+            from d3human_tpu.data.synthetic import CachedTargets
+            src = CachedTargets(scene)
+            print(f"[data] on-device fp16 target cache: {scene.n_frames} "
+                  f"frames at {cfg.render.train_res}", flush=True)
+        get_frame = src.frame_target              # frame semantics (seq)
         get_target = lambda it: get_frame(_order(it))  # noqa: E731
         # numpy snapshot of GT poses (live arrays are donated into the step)
         gt_pose = {k: np.asarray(v) for k, v in scene.pose_params.items()}
