@@ -124,12 +124,19 @@ def build(scale: str):
         res, grid_res = (256, 256), 32
         mv, mt = 2 ** 14, 2 ** 14
 
-    # BENCH_SHADING=off measures init with the shading pass skipped — the
-    # init total has no image term (ref train.py:718; the reference still
-    # pays the texture/shade cost for a log-only value), proven
-    # loss-bit-identical by tests/test_golden_losses.py. Default keeps the
-    # reference-equivalent workload.
-    shading = os.environ.get("BENCH_SHADING", "on") != "off"
+    # The init total has no image term (ref train.py:718; the reference
+    # still pays the texture/shade cost there for a log-only value), and the
+    # shading-off init step is proven loss-bit-identical by
+    # tests/test_golden_losses.py — so the framework ships init_shading off
+    # and the default bench measures the as-shipped step. BENCH_SHADING=on
+    # restores the reference-equivalent workload (shading computed + logged)
+    # for apples-to-apples capture.
+    env_shading = os.environ.get("BENCH_SHADING", "")
+    if env_shading:
+        shading = env_shading != "off"
+    else:
+        from d3human_tpu.config import RenderConfig
+        shading = RenderConfig().init_shading
     # BENCH_BF16=1 flips the field-MLP hidden layers to bfloat16 — the
     # reference's FLAGS.use_float16 analogue, OFF by default there too
     # (ref train.py:1626). Speed capture only; a default flip is gated on
@@ -373,7 +380,7 @@ def main():
     for attempt in ([scale, "medium", "small"] if scale == "full"
                     else [scale, "small"]):
         try:
-            state, step_fn, target, _ = build(attempt)
+            state, step_fn, target, extras = build(attempt)
             key = jax.random.PRNGKey(42)
             for i in range(warmup):
                 state, aux = step_fn(state, target, jax.random.fold_in(key, i))
@@ -385,9 +392,13 @@ def main():
             jax.block_until_ready(aux["total"])
             dt = (time.time() - t0) / iters
             ips = 1.0 / dt
+            sh = ("" if stage != "init" else
+                  "; init_shading=on" if extras["cfg"].render.init_shading
+                  else "; init_shading=off (log-only term skipped, "
+                       "gradients identical)")
             print(json.dumps({
                 "metric": f"{stage}-stage train iters/sec ({attempt} scale: "
-                          f"grid^3 + raster res per config)",
+                          f"grid^3 + raster res per config{sh})",
                 "value": round(ips, 3),
                 "unit": "iters/sec",
                 "vs_baseline": round(ips / stage_baseline, 3),

@@ -46,7 +46,7 @@ collect() {
     cp -f out/parity_r03d/PARITY.json PARITY_r03.json 2>/dev/null
     cp -f out/parity_r03d/PARITY_MULTIVIEW.json PARITY_MULTIVIEW_r03.json \
         2>/dev/null
-    for f in bench_full bench_noshade bench_rbg bench_rbg_noshade \
+    for f in bench_full bench_shadeon bench_rbg bench_rbg_shadeon \
              bench_seq bench_split bench_seq_staticw \
              bench_bf16 bench_jitter4 bench_best; do
         [ -s /tmp/$f.json ] && cp -f /tmp/$f.json BENCH_VARIANTS_$f.json
@@ -64,12 +64,12 @@ collect "4-stage parity run complete"
 echo "[queue] bench variants"
 tpu_job /tmp/bench_full.json    /tmp/bench_full.log    \
     env python bench.py
-tpu_job /tmp/bench_noshade.json /tmp/bench_noshade.log \
-    env BENCH_SHADING=off python bench.py
+tpu_job /tmp/bench_shadeon.json /tmp/bench_shadeon.log \
+    env BENCH_SHADING=on python bench.py
 tpu_job /tmp/bench_rbg.json     /tmp/bench_rbg.log     \
     env D3H_PRNG=rbg python bench.py
-tpu_job /tmp/bench_rbg_noshade.json /tmp/bench_rbg_noshade.log \
-    env D3H_PRNG=rbg BENCH_SHADING=off python bench.py
+tpu_job /tmp/bench_rbg_shadeon.json /tmp/bench_rbg_shadeon.log \
+    env D3H_PRNG=rbg BENCH_SHADING=on python bench.py
 tpu_job /tmp/bench_seq.json     /tmp/bench_seq.log     \
     env BENCH_SCALE=seq python bench.py
 tpu_job /tmp/bench_split.json   /tmp/bench_split.log   \

@@ -45,7 +45,14 @@ def _compute():
     from __graft_entry__ import _small_setup
     from d3human_tpu.train import losses as L
 
+    import dataclasses
+
     cfg, scene, model, tex, perceptual, perc_params, params = _small_setup()
+    # goldens lock the FULL init tick incl. the shading/texture math, so pin
+    # shading on regardless of the shipped default (which is off: the init
+    # total has no image term, ref train.py:718)
+    cfg = dataclasses.replace(
+        cfg, render=dataclasses.replace(cfg.render, init_shading=True))
     target = scene.frame_target(0)
     raster_opts = dict(tile=(8, 16), max_faces_per_tile=128, bin_expand=8,
                        max_global=128)
@@ -82,6 +89,9 @@ def test_init_shading_off_only_zeroes_img_loss():
     from d3human_tpu.train import losses as L
 
     cfg, scene, model, tex, perceptual, perc_params, params = _small_setup()
+    cfg = dataclasses.replace(          # explicit arms either way the
+        cfg, render=dataclasses.replace(  # shipped default points
+            cfg.render, init_shading=True))
     cfg_off = dataclasses.replace(
         cfg, render=dataclasses.replace(cfg.render, init_shading=False))
     target = scene.frame_target(0)
