@@ -165,10 +165,24 @@ def build(scale: str):
     scene.campos = jnp.asarray(np.linalg.inv(mvm)[:3, 3])
     scene.resolution = res
 
-    cache = os.path.join(REPO, ".tet_cache", f"grid_{grid_res}.npz")
+    # BENCH_GRID_CROP=<margin> crops the lattice to the canonical template
+    # bbox + margin at identical cell positions (geometry.grid_crop lever;
+    # a surface inside the crop extracts bitwise-identically —
+    # tests/test_grid_crop.py).
+    crop_m = float(os.environ.get("BENCH_GRID_CROP", "0") or "0")
+    crop_box, crop_tag = None, ""
+    if crop_m > 0:
+        cb = np.asarray(scene.canon.vs_template)[0]
+        crop_box = (tuple(cb.min(0) - crop_m), tuple(cb.max(0) + crop_m))
+        crop_tag = f"_crop{crop_m:g}"
+    cache = os.path.join(REPO, ".tet_cache", f"grid_{grid_res}{crop_tag}.npz")
     grid = make_tet_grid(res=grid_res,
                          bounds=((-0.6, -0.8, -0.4), (0.6, 0.8, 0.4)),
-                         y_offset=0.0, scale=1.0, cache_path=cache)
+                         y_offset=0.0, scale=1.0, cache_path=cache,
+                         crop_box=crop_box)
+    if crop_box is not None:
+        print(f"[bench] grid crop {grid.dims} of {grid_res}^3 "
+              f"({grid.n_tets} tets)", flush=True)
     model = GeometryModel(cfg, grid, scene.deformer, scene.canon)
 
     key = jax.random.PRNGKey(0)
@@ -396,6 +410,9 @@ def main():
                   "; init_shading=on" if extras["cfg"].render.init_shading
                   else "; init_shading=off (log-only term skipped, "
                        "gradients identical)")
+            if os.environ.get("BENCH_GRID_CROP"):
+                sh += (f"; grid_crop={os.environ['BENCH_GRID_CROP']} "
+                       f"(body-tight lattice, extraction-identical subset)")
             print(json.dumps({
                 "metric": f"{stage}-stage train iters/sec ({attempt} scale: "
                           f"grid^3 + raster res per config{sh})",

@@ -42,6 +42,13 @@ class GeometryConfig:
     grid_y_offset: float = -0.1919  # ref hmsdf.py:210
     boxscale: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     aabb: Tuple[float, ...] = (-1, -1, -1, 1, 1, 1)
+    # Crop the lattice to the canonical template's bbox + this margin
+    # (world units; 0 = reference-parity full box). The kept vertices are a
+    # bitwise subset of the full lattice at identical cell size, so a
+    # surface inside the crop extracts identically (ops/tet_grid.py) while
+    # the full-grid SDF query / occupancy / compaction costs shrink with
+    # the ~3-5x smaller lattice.
+    grid_crop: float = 0.0
     # Static capacities for the fixed-shape marching-tets pipeline.
     # max_verts bounds SDF-crossing grid edges; max_tets bounds sign-mixed
     # tets. A human surface at grid 128 yields ~100-300k crossing edges.

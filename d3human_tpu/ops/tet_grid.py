@@ -164,17 +164,52 @@ def _lattice_verts(res, bounds) -> np.ndarray:
     return np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
 
 
+def crop_window(res3, bounds, y_offset, scale, crop_box):
+    """Per-axis vertex-index windows [i0, i1] of the full lattice covering
+    ``crop_box`` (given in FINAL world coords, i.e. after the y_offset/scale
+    transforms). The window is the smallest index range whose world extent
+    contains the box, clamped to the lattice."""
+    lo, hi = np.asarray(crop_box[0], np.float64), np.asarray(
+        crop_box[1], np.float64)
+    windows = []
+    for ax in range(3):
+        n = res3[ax] + 1
+        w = np.linspace(bounds[0][ax], bounds[1][ax], n, dtype=np.float32
+                        ).astype(np.float64)
+        if ax == 1:
+            w = w + y_offset
+        w = w * scale
+        i0 = int(np.searchsorted(w, lo[ax], side="right") - 1)
+        i1 = int(np.searchsorted(w, hi[ax], side="left"))
+        i0, i1 = max(0, i0), min(n - 1, i1)
+        if i1 - i0 < 1:
+            raise ValueError(f"crop_box axis {ax} covers no lattice cell")
+        windows.append((i0, i1))
+    return windows
+
+
 def make_tet_grid(
     res=128,
     bounds=((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5)),
     y_offset: float = -0.1919,
     scale: float = 1.2,
     cache_path: Optional[str] = None,
+    crop_box=None,
 ) -> TetGrid:
     """Build (or load from cache) the tet grid with reference transforms
     applied (ref hmsdf.py:210-211: verts[:,1] += y_offset; verts *= scale).
 
     ``res`` may be an int (isotropic) or an (rx, ry, rz) tuple.
+
+    ``crop_box``: optional ((lo3), (hi3)) in final world coords — keep only
+    the lattice cells covering the box. The kept vertices are an exact
+    (bitwise) subset of the uncropped lattice: the per-axis linspaces are
+    *sliced*, never recomputed, so a surface contained in the box extracts
+    identically on the cropped and full grids (test-locked). This is the
+    TPU-first answer to the reference's full-cube quartet grid
+    (hmsdf.py:203-213): a human occupies ~20-40%% of each horizontal axis,
+    and every per-iteration cost that scales with the lattice (full-grid SDF
+    query, occupancy slicing, level-1 compaction) shrinks with the crop.
     """
     res3 = (res, res, res) if isinstance(res, int) else tuple(res)
     if cache_path is not None and os.path.exists(cache_path):
@@ -183,7 +218,18 @@ def make_tet_grid(
             z["verts"], z["tets"], z["edges"], z["tet_edges"])
         dims = tuple(int(d) for d in z["dims"])
     else:
-        verts = _lattice_verts(res3, bounds)
+        if crop_box is not None:
+            win = crop_window(res3, bounds, y_offset, scale, crop_box)
+            axes = []
+            for ax, (i0, i1) in enumerate(win):
+                full = np.linspace(bounds[0][ax], bounds[1][ax],
+                                   res3[ax] + 1, dtype=np.float32)
+                axes.append(full[i0:i1 + 1])
+            gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+            verts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+            res3 = tuple(i1 - i0 for i0, i1 in win)
+        else:
+            verts = _lattice_verts(res3, bounds)
         verts[:, 1] += y_offset
         verts *= scale
         edges, tets, tet_edges = _structured_topology(res3)

@@ -53,8 +53,9 @@ def pretrain_cache_paths(cfg, cache_dir: str = os.path.join("out", "cache")):
     """Canonical cache filenames for the two one-off pretrains, keyed by
     everything that determines their result (grid, step counts, seed)."""
     g = cfg.geometry
+    crop = f"_crop{g.grid_crop:g}" if g.grid_crop > 0 else ""
     pcache = os.path.join(
-        cache_dir, f"sdf_pretrain_g{g.grid_res}x{g.grid_scale}"
+        cache_dir, f"sdf_pretrain_g{g.grid_res}x{g.grid_scale}{crop}"
         f"_s{cfg.stages.sdf_mlp_pretrain_steps}_seed{cfg.seed}.npz")
     ncache = os.path.join(
         cache_dir, f"nonrigid_zero_s{cfg.stages.sdf_deform_pretrain_steps}"

@@ -58,7 +58,8 @@ def parse_args():
     p.add_argument("--config", default="configs/f3c_synth.json")
     p.add_argument("--iters", type=int, default=400)
     p.add_argument("--arms", default="conv,none,pyramid",
-                   help="comma list: conv|none|pyramid|lr01|noclip")
+                   help="comma list: conv|none|pyramid|lr01|lr3|warm1000|"
+                        "sdflow|bf16|noclip|jitter4|cache|crop")
     p.add_argument("--out", default="AB_INIT.json")
     p.add_argument("--grid-cache", default="out/parity_r03/tet_grid_128.npz")
     p.add_argument("--n-frames", type=int, default=8)
@@ -143,7 +144,36 @@ def main():
 
         cfg = cfg0
         backbone = "conv"
-        if arm in BACKBONES:
+        model_a, host0_a = model, host0   # crop arm swaps both
+        if arm == "crop":
+            # body-tight lattice (geometry.grid_crop lever): same cell
+            # size, ~4-5x fewer cells; extraction-identical for surfaces
+            # inside the crop (tests/test_grid_crop.py). Quality + speed
+            # measured in one arm.
+            cb = np.asarray(scene.canon.vs_template)[0]
+            crop_box = (tuple(cb.min(0) - 0.1), tuple(cb.max(0) + 0.1))
+            grid_c = make_tet_grid(
+                res=g.grid_res, bounds=((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5)),
+                y_offset=g.grid_y_offset, scale=g.grid_scale,
+                crop_box=crop_box,
+                cache_path=(args.grid_cache or "").replace(
+                    ".npz", "_crop0.1.npz") or None)
+            cfg = dataclasses.replace(cfg0, geometry=dataclasses.replace(
+                cfg0.geometry, grid_crop=0.1))
+            model_a = GeometryModel(cfg, grid_c, scene.deformer, scene.canon)
+            print(f"[arm crop] grid {grid_c.dims} of {g.grid_res}^3 "
+                  f"({grid_c.n_tets} tets)", flush=True)
+            gp = model_a.init_params(kG, n_images=scene.n_frames)
+            pc, _ = pretrain_cache_paths(cfg)
+            gp, _pl = cached_sdf_pretrain(
+                model_a, gp, cfg.stages.sdf_mlp_pretrain_steps, pc)
+            gp = dict(gp)
+            gp["nonrigid"] = jax.tree_util.tree_map(
+                jnp.asarray, host0["geometry"]["nonrigid"])
+            p0 = dict(params0)
+            p0["geometry"] = gp
+            host0_a = jax.tree_util.tree_map(np.asarray, p0)
+        elif arm in BACKBONES:
             backbone = arm
         elif arm == "lr01":
             lr = list(cfg0.optim.learning_rate)
@@ -192,9 +222,9 @@ def main():
         perceptual = BACKBONES[backbone]()
         perc_params = perceptual.init()
         print(f"[arm {arm}] compile", flush=True)
-        tx, step_fn = make_train_step("init", model, tex, perceptual,
+        tx, step_fn = make_train_step("init", model_a, tex, perceptual,
                                       perc_params, cfg)
-        params = jax.tree_util.tree_map(jnp.asarray, host0)
+        params = jax.tree_util.tree_map(jnp.asarray, host0_a)
         state = TrainState(params=params, opt_state=tx.init(params),
                            step=jnp.zeros((), jnp.int32))
 
@@ -223,7 +253,7 @@ def main():
         ious, psnrs = [], []
         for fi in range(0, scene.n_frames, max(1, scene.n_frames // 8)):
             t = scene.frame_target(fi)
-            _, buf = validate_stage(jax.random.fold_in(kRun, 999), model,
+            _, buf = validate_stage(jax.random.fold_in(kRun, 999), model_a,
                                     state.params, tex, t, cfg,
                                     return_buffers=True)
             gt = np.asarray(t["all_img"])

@@ -134,6 +134,19 @@ def test_bench_bf16_jitter_knobs_construct(monkeypatch):
     assert callable(step_fn)
 
 
+def test_bench_grid_crop_knob_constructs(monkeypatch):
+    """BENCH_GRID_CROP=<margin> must build a cropped lattice strictly
+    smaller than the full one (the body-tight grid_crop lever); extraction
+    equality is locked separately in tests/test_grid_crop.py."""
+    monkeypatch.setenv("BENCH_GRID_CROP", "0.1")
+    monkeypatch.setenv("D3H_PLATFORM", "cpu")
+    import bench
+
+    state, step_fn, target, extras = bench.build("small")
+    assert extras["model"].grid.n_tets < 32 ** 3 * 6
+    assert callable(step_fn)
+
+
 def test_bench_import_has_no_reap_side_effects():
     """Importing bench must never SIGTERM the unattended training stack:
     the reap + tunnel preflight may only be invoked from main() (a bare

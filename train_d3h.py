@@ -179,11 +179,23 @@ def main():
 
     # ---------------- model ------------------------------------------------
     g = cfg.geometry
+    crop_box, crop_tag = None, ""
+    if g.grid_crop > 0:
+        # body-tight lattice: canonical template bbox + margin (the SDF /
+        # msdf / deform fields are only ever extracted near the template)
+        cb = np.asarray(canon.vs_template)[0]
+        crop_box = (tuple(cb.min(0) - g.grid_crop),
+                    tuple(cb.max(0) + g.grid_crop))
+        crop_tag = f"_crop{g.grid_crop:g}"
     grid = make_tet_grid(
         res=g.grid_res,
         bounds=((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5)),
-        y_offset=g.grid_y_offset, scale=g.grid_scale,
-        cache_path=os.path.join(cfg.out_dir, f"tet_grid_{g.grid_res}.npz"))
+        y_offset=g.grid_y_offset, scale=g.grid_scale, crop_box=crop_box,
+        cache_path=os.path.join(cfg.out_dir,
+                                f"tet_grid_{g.grid_res}{crop_tag}.npz"))
+    if crop_box is not None:
+        print(f"[grid] crop {grid.dims} of {g.grid_res}^3 "
+              f"({grid.n_verts} verts, {grid.n_tets} tets)", flush=True)
     model = GeometryModel(cfg, grid, deformer, canon)
 
     kG, kT, kL, kRun = jax.random.split(key, 4)
