@@ -23,6 +23,8 @@ import time
 # run it freezes) — the bench wants a quiet host core, not just a free TPU
 PID_FILES = (
     "/tmp/queue.pid",
+    "/tmp/tpu_queue.pid",      # scripts/tpu_queue.sh
+    "/tmp/tpu_queue2.pid",     # scripts/tpu_queue2.sh (follow-up queue)
     "/tmp/watchdog.pid",
     "/tmp/watchdog_child.pid",
     "/tmp/tpu_job.pid",

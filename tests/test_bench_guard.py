@@ -68,6 +68,26 @@ def test_bench_imports_and_builders_importable():
                 importlib.import_module(f"{node.module}.{alias.name}")
 
 
+def test_reap_covers_every_unattended_pid_file():
+    """The default reap list must name every pid file the unattended stack
+    actually uses: both job queues (their launchers write
+    /tmp/tpu_queue*.pid; tpu_queue2.sh waits on tpu_queue.pid), the
+    watchdog + its child, and the queues' current TPU job. A queue missing
+    from this list survives the round driver's reap and launches its next
+    TPU job into contention with the driver's bench (observed risk r3)."""
+    from d3human_tpu.utils.run_guard import PID_FILES
+
+    for required in ("/tmp/tpu_queue.pid", "/tmp/tpu_queue2.pid",
+                     "/tmp/watchdog.pid", "/tmp/watchdog_child.pid",
+                     "/tmp/tpu_job.pid"):
+        assert required in PID_FILES, required
+    # queues must die BEFORE the job/watchdog they would otherwise relaunch
+    assert PID_FILES.index("/tmp/tpu_queue.pid") \
+        < PID_FILES.index("/tmp/tpu_job.pid")
+    assert PID_FILES.index("/tmp/tpu_queue2.pid") \
+        < PID_FILES.index("/tmp/tpu_job.pid")
+
+
 def test_reap_training_stack(tmp_path):
     """The one-TPU-process reap: live pids from the stack's pid files get
     SIGTERM'd; this process, its parent, dead pids and garbage files are
