@@ -169,7 +169,8 @@ def build(scale: str):
     # bbox + margin at identical cell positions (geometry.grid_crop lever;
     # a surface inside the crop extracts bitwise-identically —
     # tests/test_grid_crop.py).
-    crop_m = float(os.environ.get("BENCH_GRID_CROP", "0") or "0")
+    env_crop = os.environ.get("BENCH_GRID_CROP", "")
+    crop_m = float(env_crop) if env_crop else GeometryConfig().grid_crop
     crop_box, crop_tag = None, ""
     if crop_m > 0:
         cb = np.asarray(scene.canon.vs_template)[0]
@@ -410,8 +411,11 @@ def main():
                   "; init_shading=on" if extras["cfg"].render.init_shading
                   else "; init_shading=off (log-only term skipped, "
                        "gradients identical)")
-            if os.environ.get("BENCH_GRID_CROP"):
-                sh += (f"; grid_crop={os.environ['BENCH_GRID_CROP']} "
+            crop_active = (os.environ.get("BENCH_GRID_CROP")
+                           or (extras["cfg"].geometry.grid_crop or ""))
+            # seq uses the explicit template (no lattice — nothing to crop)
+            if crop_active and stage != "seq":
+                sh += (f"; grid_crop={crop_active} "
                        f"(body-tight lattice, extraction-identical subset)")
             print(json.dumps({
                 "metric": f"{stage}-stage train iters/sec ({attempt} scale: "
