@@ -169,8 +169,11 @@ def build(scale: str):
     # bbox + margin at identical cell positions (geometry.grid_crop lever;
     # a surface inside the crop extracts bitwise-identically —
     # tests/test_grid_crop.py).
+    # default = the shipping full-scale configuration's margin (0.1,
+    # pinned in configs/f3c_synth_full4.json; the library default is the
+    # reference-parity 0.0) — the metric string discloses the active value
     env_crop = os.environ.get("BENCH_GRID_CROP", "")
-    crop_m = float(env_crop) if env_crop else GeometryConfig().grid_crop
+    crop_m = float(env_crop) if env_crop else 0.1
     crop_box, crop_tag = None, ""
     if crop_m > 0:
         cb = np.asarray(scene.canon.vs_template)[0]
@@ -208,7 +211,7 @@ def build(scale: str):
                        step=jnp.zeros((), jnp.int32))
     extras = {"model": model, "tex": tex, "perceptual": perceptual,
               "perc_params": perc_params, "cfg": cfg, "tx": tx,
-              "stage": stage}
+              "stage": stage, "grid_crop": crop_m}
 
     # synthetic target at bench resolution (mask disc + noise rgb)
     H, W = res
@@ -411,8 +414,7 @@ def main():
                   "; init_shading=on" if extras["cfg"].render.init_shading
                   else "; init_shading=off (log-only term skipped, "
                        "gradients identical)")
-            crop_active = (os.environ.get("BENCH_GRID_CROP")
-                           or (extras["cfg"].geometry.grid_crop or ""))
+            crop_active = extras.get("grid_crop") or ""
             # seq uses the explicit template (no lattice — nothing to crop)
             if crop_active and stage != "seq":
                 sh += (f"; grid_crop={crop_active} "

@@ -47,13 +47,15 @@ class GeometryConfig:
     # bitwise subset of the full lattice at identical cell size, so a
     # surface inside the crop extracts identically (ops/tet_grid.py) while
     # the full-grid SDF query / occupancy / compaction costs shrink with
-    # the ~3-5x smaller lattice. Default ON (0.1) since the full-scale
-    # quality gate: a 128^3/1080^2 split_smpl run with the crop reached
-    # mask IoU 0.9367 / PSNR 26.68 at 200 iters vs 0.933 / 26.4 for the
-    # full-lattice run at 1000 iters (PARITY_FULL4_r03.json vs
-    # PARITY_r03.json), i.e. crop >= no-crop at a fifth of the budget.
-    # Set 0.0 for the reference-parity full box.
-    grid_crop: float = 0.1
+    # the ~3-5x smaller lattice. Default OFF (0.0 = reference parity):
+    # crop is only extraction-identical for surfaces inside template
+    # bbox + margin, so loose garments past the margin would be silently
+    # unextractable — the full-scale configs enable it explicitly
+    # (configs/f3c_synth_full4.json), backed by the 128^3/1080^2 split_smpl
+    # evidence in PARITY_FULL4_stage1.json (IoU 0.9367 / PSNR 26.68 at 200
+    # iters vs 0.933 / 26.4 full-lattice at 1000 iters — cross-budget, see
+    # the note in that file).
+    grid_crop: float = 0.0
     # Static capacities for the fixed-shape marching-tets pipeline.
     # max_verts bounds SDF-crossing grid edges; max_tets bounds sign-mixed
     # tets. A human surface at grid 128 yields ~100-300k crossing edges.

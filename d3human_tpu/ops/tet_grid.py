@@ -212,8 +212,28 @@ def make_tet_grid(
     query, occupancy slicing, level-1 compaction) shrinks with the crop.
     """
     res3 = (res, res, res) if isinstance(res, int) else tuple(res)
+    # Everything the lattice contents depend on beyond the filename: the
+    # crop_box is subject-dependent (canonical-template bbox), and
+    # bounds/y_offset/scale are config levers — a cache hit keyed only by
+    # (res, crop margin) could silently load another subject's lattice
+    # when runs share an out_dir. Stored in the npz and validated on load;
+    # mismatch (or a pre-r4 cache without the key) rebuilds.
+    cb = ([np.nan] * 6 if crop_box is None
+          else list(crop_box[0]) + list(crop_box[1]))
+    meta = np.asarray(
+        [y_offset, scale, *np.asarray(bounds, np.float64).ravel(), *cb,
+         *res3], np.float64)
+    cached = None
     if cache_path is not None and os.path.exists(cache_path):
         z = np.load(cache_path)
+        if "meta" in z and z["meta"].shape == meta.shape and np.array_equal(
+                z["meta"], meta, equal_nan=True):
+            cached = z
+        else:
+            print(f"[tet_grid] stale cache {cache_path} "
+                  f"(meta mismatch) — rebuilding", flush=True)
+    if cached is not None:
+        z = cached
         verts, tets, edges, tet_edges = (
             z["verts"], z["tets"], z["edges"], z["tet_edges"])
         dims = tuple(int(d) for d in z["dims"])
@@ -238,7 +258,7 @@ def make_tet_grid(
             os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
             np.savez_compressed(cache_path, verts=verts, tets=tets,
                                 edges=edges, tet_edges=tet_edges,
-                                dims=np.asarray(res3))
+                                dims=np.asarray(res3), meta=meta)
     edges_padded = np.concatenate([edges, np.zeros((1, 2), edges.dtype)], axis=0)
     return TetGrid(
         verts=jnp.asarray(verts, jnp.float32),

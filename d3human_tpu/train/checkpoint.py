@@ -49,13 +49,29 @@ def load_params(path: str, params_template):
         jax.tree_util.tree_structure(params_template), new_leaves)
 
 
-def pretrain_cache_paths(cfg, cache_dir: str = os.path.join("out", "cache")):
+def pretrain_cache_paths(cfg, cache_dir: str = os.path.join("out", "cache"),
+                         crop_box=None):
     """Canonical cache filenames for the two one-off pretrains, keyed by
-    everything that determines their result (grid, step counts, seed)."""
+    everything that determines their result (grid incl. the
+    subject-dependent crop box, step counts, seed). ``crop_box`` is the
+    ((lo3),(hi3)) world-coord crop actually applied to the lattice — its
+    content hash enters the key so two subjects (different template bboxes)
+    sharing a cache_dir can never hit each other's pretrain."""
     g = cfg.geometry
-    crop = f"_crop{g.grid_crop:g}" if g.grid_crop > 0 else ""
+    crop = ""
+    if g.grid_crop > 0 or crop_box is not None:
+        crop = f"_crop{g.grid_crop:g}"
+        if crop_box is not None:
+            import hashlib
+
+            h = hashlib.sha1(np.asarray(crop_box, np.float64).tobytes()
+                             ).hexdigest()[:8]
+            crop += f"_b{h}"
+    key = f"{g.grid_res}x{g.grid_scale}"
+    if g.grid_y_offset:
+        key += f"y{g.grid_y_offset:g}"
     pcache = os.path.join(
-        cache_dir, f"sdf_pretrain_g{g.grid_res}x{g.grid_scale}{crop}"
+        cache_dir, f"sdf_pretrain_g{key}{crop}"
         f"_s{cfg.stages.sdf_mlp_pretrain_steps}_seed{cfg.seed}.npz")
     ncache = os.path.join(
         cache_dir, f"nonrigid_zero_s{cfg.stages.sdf_deform_pretrain_steps}"

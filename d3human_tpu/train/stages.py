@@ -204,6 +204,30 @@ def export_stage_meshes(model: GeometryModel, params: Dict, save_path: str,
     return out
 
 
+def _make_visible_triangles_fn(cfg):
+    """Jitted face-id raster pass -> per-frame visible-triangle indices.
+
+    The reference saves the rasterizer's visible-triangle set alongside each
+    seq frame's delta (ref train.py:1513-1519, ids collected at
+    render/render.py:404-407); downstream consumers mask per-frame edits
+    with it. Returns a host function (posed_v, faces, mvp) -> int32 [K]."""
+    from d3human_tpu.ops.rasterizer import rasterize, xfm_points
+
+    @jax.jit
+    def tri_id(v, f, mvp):
+        rast = rasterize(xfm_points(v, mvp), f,
+                         jnp.ones((f.shape[0],), bool),
+                         tuple(cfg.render.train_res),
+                         backend=cfg.render.backend)
+        return rast.tri_id
+
+    def visible(v, f, mvp):
+        ids = np.unique(np.asarray(tri_id(v, f, mvp)))
+        return (ids[ids > 0] - 1).astype(np.int32)
+
+    return visible
+
+
 def run_seq_stage_parallel(
     params: Dict,
     template: SeqTemplate,
@@ -262,6 +286,7 @@ def run_seq_stage_parallel(
     # defeat the jit cache and retrace/compile n_frames times)
     export_fn = jax.jit(
         lambda c, g, t, p, i: model.bind(c).seq_deformed(g, t, p, i))
+    visible_fn = _make_visible_triangles_fn(cfg)
     consts = model.consts()
     for frame in range(n_frames):
         for it in range(0, totals.shape[1], cfg.stages.log_interval):
@@ -272,7 +297,9 @@ def run_seq_stage_parallel(
         posed, delta = export_fn(consts, p_f["geometry"], template,
                                  p_f["pose"], target["frame_idx"])
         np.savez(os.path.join(save_path, "delta", f"{frame}.npz"),
-                 delta=np.asarray(delta))
+                 delta=np.asarray(delta),
+                 visible_triangles=visible_fn(posed, template.f,
+                                              target["mvp"]))
         mesh_io.write_ply(os.path.join(save_path, f"fine_all_{frame}.ply"),
                           np.asarray(posed), np.asarray(template.f))
         print(f"[seq-par] frame={frame} final total="
@@ -303,6 +330,7 @@ def run_seq_stage(
     # and recompile the export n_frames times)
     export_fn = jax.jit(
         lambda c, g, t, p, i: model.bind(c).seq_deformed(g, t, p, i))
+    visible_fn = _make_visible_triangles_fn(cfg)
     consts = model.consts()
     for frame in range(n_frames):
         iters = (cfg.stages.seq_iters_first if frame == 0
@@ -331,7 +359,9 @@ def run_seq_stage(
             consts, state.params["geometry"], template,
             state.params["pose"], target["frame_idx"])
         np.savez(os.path.join(save_path, "delta", f"{frame}.npz"),
-                 delta=np.asarray(delta))
+                 delta=np.asarray(delta),
+                 visible_triangles=visible_fn(posed, template.f,
+                                              target["mvp"]))
         mesh_io.write_ply(os.path.join(save_path, f"fine_all_{frame}.ply"),
                           np.asarray(posed), np.asarray(template.f))
     logger.close()

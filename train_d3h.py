@@ -204,7 +204,7 @@ def main():
     print("[pretrain] SDF -> template body SDF", flush=True)
     # disk-cached like the reference (hmsdf.py:251-253, :289-291) — keyed by
     # everything that determines the result (grid, steps, seed)
-    pcache, ncache = pretrain_cache_paths(cfg)
+    pcache, ncache = pretrain_cache_paths(cfg, crop_box=crop_box)
     gparams, ploss = cached_sdf_pretrain(
         model, gparams, cfg.stages.sdf_mlp_pretrain_steps, pcache)
     print(f"[pretrain] done, loss="
