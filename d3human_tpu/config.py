@@ -125,6 +125,13 @@ class RenderConfig:
     # material/normal smoothness jitter taps run on every Nth covered pixel
     # (regularizer-only inputs; expectation-rescaled in render/regularizer.py)
     jitter_subsample: int = 2
+    # A/B instrumentation for the lr-0.03 stability question (STABILITY.md):
+    # antialias EVERY neighbor pair on the compact path (dense _aa_weights
+    # math, includes interior id-differing pairs the sparse candidate
+    # filter drops) instead of the compacted silhouette pair list. Costlier;
+    # OFF in production — exists to falsify/confirm "sparse-AA gradient
+    # structure" as the full-scale collapse mechanism.
+    aa_dense: bool = False
     # the init stage's total has NO image term (ref train.py:718 —
     # reg+normal+msk only), so texture/hash-grid shading there feeds a
     # log-only metric. False skips shading in init training steps (img_loss

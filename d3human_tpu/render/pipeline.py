@@ -112,6 +112,7 @@ def render_mesh(
     jitter_subsample: int = 2,
     shade: bool = True,
     layers: int = 1,
+    aa_dense: bool = False,
 ) -> MeshBuffers:
     """Dispatch: the compacted training path (default where it applies) or
     the full-image reference path (validation / spp>1 / pbr / oracle /
@@ -133,7 +134,8 @@ def render_mesh(
             msdf_attr=msdf_attr, face_labels=face_labels, v_nrm=v_nrm,
             raster_opts=raster_opts, max_covered_frac=max_covered_frac,
             aa_max_pairs=aa_max_pairs, aa_z_thresh=aa_z_thresh,
-            jitter_subsample=jitter_subsample, shade=shade)
+            jitter_subsample=jitter_subsample, shade=shade,
+            aa_dense=aa_dense)
     return render_mesh_full(
         key, verts, verts_original, faces, face_valid, mvp, campos,
         resolution, tex_module, tex_params, background, shade=shade,
@@ -167,6 +169,7 @@ def render_mesh_compact(
     aa_z_thresh: float = 0.01,
     jitter_subsample: int = 2,
     shade: bool = True,
+    aa_dense: bool = False,
 ) -> MeshBuffers:
     """Covered-pixel-compacted render (the TPU training hot path).
 
@@ -282,15 +285,27 @@ def render_mesh_compact(
         aa_max_pairs = 16 * max(H, W)
     aa_in = jnp.concatenate(
         [shaded_rgb, alpha, img[..., 3:6], img[..., 6:7]], axis=-1)  # 8 ch
-    pairs = []
-    aa_counts = []
-    for axis in (1, 0):
-        pidx, pvalid, n_cand = aa_pairs_compact(
-            rast, resolution, axis, aa_max_pairs, aa_z_thresh)
-        pairs.append(aa_geometry_compact(
-            v_clip, faces, rast, pidx, pvalid, resolution, axis))
-        aa_counts.append(n_cand)
-    aa_out = apply_aa_sparse(aa_in, pairs)
+    if aa_dense:
+        # stability-A/B instrumentation (config.render.aa_dense): every
+        # neighbor pair through the dense _aa_weights math — no candidate
+        # filter, no capacity. Counts reported = active-pair candidates so
+        # cap_aa stays meaningful in logs (capacity := full pair grid).
+        from d3human_tpu.ops.rasterizer import aa_pair_candidates
+
+        aa_out = apply_aa(aa_in, aa_weights(v_clip, faces, rast, resolution))
+        aa_counts = [jnp.sum(aa_pair_candidates(rast, ax, aa_z_thresh))
+                     for ax in (1, 0)]
+        aa_max_pairs = npix
+    else:
+        pairs = []
+        aa_counts = []
+        for axis in (1, 0):
+            pidx, pvalid, n_cand = aa_pairs_compact(
+                rast, resolution, axis, aa_max_pairs, aa_z_thresh)
+            pairs.append(aa_geometry_compact(
+                v_clip, faces, rast, pidx, pvalid, resolution, axis))
+            aa_counts.append(n_cand)
+        aa_out = apply_aa_sparse(aa_in, pairs)
     shaded = aa_out[..., 0:4]
     aa_alpha = aa_out[..., 3:4]
     geo_b = jnp.concatenate([aa_out[..., 4:7], aa_alpha], axis=-1)

@@ -112,6 +112,7 @@ def render_stage_mesh(key, model: GeometryModel, params, pose_params,
         raster_opts=raster_opts,
         max_covered_frac=cfg.render.max_covered_frac,
         jitter_subsample=cfg.render.jitter_subsample,
+        aa_dense=cfg.render.aa_dense,
         compact=compact,
         shade=shade,
         layers=cfg.render.layers,
@@ -349,6 +350,7 @@ def tick_seq(key, model: GeometryModel, params, pose_params,
         raster_opts=raster_opts,
         max_covered_frac=cfg.render.max_covered_frac,
         jitter_subsample=cfg.render.jitter_subsample,
+        aa_dense=cfg.render.aa_dense,
     )
 
     # mask decomposition (ref hmsdf.py:788-798): cloth = label*alpha

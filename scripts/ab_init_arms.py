@@ -59,7 +59,7 @@ def parse_args():
     p.add_argument("--iters", type=int, default=400)
     p.add_argument("--arms", default="conv,none,pyramid",
                    help="comma list: conv|none|pyramid|lr01|lr3|warm1000|"
-                        "sdflow|bf16|noclip|jitter4|cache|crop")
+                        "sdflow|bf16|noclip|jitter4|cache|crop|denseaa")
     p.add_argument("--out", default="AB_INIT.json")
     p.add_argument("--grid-cache", default="out/parity_r03/tet_grid_128.npz")
     p.add_argument("--n-frames", type=int, default=8)
@@ -164,7 +164,7 @@ def main():
             print(f"[arm crop] grid {grid_c.dims} of {g.grid_res}^3 "
                   f"({grid_c.n_tets} tets)", flush=True)
             gp = model_a.init_params(kG, n_images=scene.n_frames)
-            pc, _ = pretrain_cache_paths(cfg)
+            pc, _ = pretrain_cache_paths(cfg, crop_box=crop_box)
             gp, _pl = cached_sdf_pretrain(
                 model_a, gp, cfg.stages.sdf_mlp_pretrain_steps, pc)
             gp = dict(gp)
@@ -210,6 +210,15 @@ def main():
             # wall-clock lever for the parity loop, quality gate here
             cfg = dataclasses.replace(cfg0, stages=dataclasses.replace(
                 cfg0.stages, synthetic_target_cache=True))
+        elif arm == "denseaa":
+            # VERDICT r3 weak#5 discriminator: dense antialiasing (every
+            # neighbor pair, no sparse candidate filter / capacity) at the
+            # reference lr 0.03. If the collapse persists with dense AA,
+            # "sparse-AA gradient structure" is falsified as the mechanism;
+            # if it survives, the sparse filter is dropping load-bearing
+            # silhouette gradient mass.
+            cfg = dataclasses.replace(cfg0, render=dataclasses.replace(
+                cfg0.render, aa_dense=True))
         else:
             raise SystemExit(f"unknown arm {arm}")
 

@@ -387,3 +387,32 @@ def test_degenerate_sliver_barycentrics_bounded():
         lambda v: barycentrics(v, faces_h, rast_h, RES))(verts_h)
     bh = np.asarray(bary_h)[np.asarray(rast_h.tri_id) > 0]
     assert bh.min() >= -1e-4 and bh.max() <= 1.0 + 1e-4
+
+
+def test_dense_aa_matches_sparse_on_pure_silhouette():
+    """config.render.aa_dense (the lr-0.03 stability discriminator): on a
+    single-triangle scene every id-differing neighbor pair IS a coverage
+    edge, so the sparse candidate filter keeps the entire active set and
+    the dense path must produce the identical blended image."""
+    from d3human_tpu.ops.rasterizer import (
+        aa_geometry_compact, aa_pairs_compact, aa_weights, apply_aa,
+        apply_aa_sparse,
+    )
+
+    verts, faces, fv = tri_scene(offset=(0.013, -0.007))
+    rast = rasterize_bruteforce(verts, faces, fv, RES)
+    mask = (rast.tri_id > 0).astype(jnp.float32)[..., None]
+    img = jnp.concatenate([mask, 1.0 - mask, mask * 0.5], axis=-1)
+
+    dense = apply_aa(img, aa_weights(verts, faces, rast, RES))
+
+    pairs = []
+    for axis in (1, 0):
+        pidx, pvalid, _ = aa_pairs_compact(rast, RES, axis, max_pairs=1024)
+        pairs.append(aa_geometry_compact(
+            verts, faces, rast, pidx, pvalid, RES, axis))
+    sparse = apply_aa_sparse(img, pairs)
+
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(sparse),
+                               atol=1e-6)
+    assert float(jnp.abs(dense - img).max()) > 0.01  # AA actually acted
