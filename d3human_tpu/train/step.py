@@ -122,4 +122,9 @@ def make_train_step(stage: str, model: GeometryModel, tex_module,
     def step_fn(state, target, key):
         return _step(state, target, key, consts)
 
+    # expose the raw jit + consts so callers can AOT-lower with abstract
+    # shapes (train_d3h.py precompile_async): the SAME jit object (same
+    # donation) guarantees the persistent-cache key matches the real call
+    step_fn.jitted = _step
+    step_fn.consts = consts
     return tx, step_fn
