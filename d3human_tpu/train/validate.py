@@ -184,5 +184,30 @@ def validate_split_stage(key, model: GeometryModel, params: Dict, tex_module,
         _gray3(a_c),
         combine_mask(gt[..., 3:], alpha),
     ]
-    strip = np.asarray(jnp.concatenate(panels, axis=1))
+
+    # per-half x per-buffer comparison rows (ref validate_itr_all tiles
+    # opt-vs-ref shaded/normal/msdf/depth for EACH mesh half,
+    # train.py:441-537): row 2 = cloth half, row 3 = body half, columns
+    # [shaded | ref RGB(part) | normal | ref normal(part) | msdf | depth |
+    #  mask combine(part)] — same 7-panel width as the union row so the
+    # three rows stack into one image.
+    def _half_row(buf, part):
+        gt_part = target.get(f"{part}_img", gt)
+        gt_nrm = target.get(f"{part}_normal", target.get("all_normal"))
+        a = buf.shaded[..., 3:]
+        return [
+            rgb_to_srgb(jnp.clip(buf.shaded[..., :3], 0, 1)),
+            rgb_to_srgb(jnp.clip(gt_part[..., :3], 0, 1)),
+            _norm_display(buf.geometric_normal),
+            (gt_nrm[..., :3] + 1.0) / 2.0 if gt_nrm is not None
+            else jnp.zeros_like(buf.shaded[..., :3]),
+            jnp.clip(_gray3(buf.msdf_image), 0, 1),
+            jnp.asarray(depth_display(buf)),
+            combine_mask(gt_part[..., 3:], a),
+        ]
+
+    rows = [jnp.concatenate(p, axis=1)
+            for p in (panels, _half_row(buf_cloth, "cloth"),
+                      _half_row(buf_body, "body"))]
+    strip = np.asarray(jnp.concatenate(rows, axis=0))
     return strip, metrics
