@@ -35,6 +35,39 @@ def _conv(x, w, stride):
     )
 
 
+def _conv_im2col_s2(x, w):
+    """3x3 stride-2 SAME conv as patch-extraction + ONE matmul.
+
+    Tiny-channel convs (3->24->48->96) at 1080^2 lower to pathological
+    TPU programs — the r3 A/B arms measured the ConvPerceptual term at
+    ~0.55 s/iter fwd+bwd (AB_INIT.json conv 2.567 vs none 2.022 s/iter),
+    ~25x its ~2 GFLOP cost. Extracting the 9 shifted taps with cheap
+    strided slices and contracting [HW, 9*Cin] @ [9*Cin, Cout] keeps the
+    FLOPs on the MXU with modest K-padding (27->128, 216->256, 432->512).
+    Bit-equivalent to lax.conv up to f32 summation order (test-locked at
+    1e-5)."""
+    N, H, W, C = x.shape
+    kh = kw = 3
+    Ho, Wo = -(-H // 2), -(-W // 2)
+    # SAME padding for k=3, s=2: pad 0 or 1 low / high depending on parity
+    pad_h = max((Ho - 1) * 2 + kh - H, 0)
+    pad_w = max((Wo - 1) * 2 + kw - W, 0)
+    ph0, pw0 = pad_h // 2, pad_w // 2
+    xp = jnp.pad(x, ((0, 0), (ph0, pad_h - ph0), (pw0, pad_w - pw0),
+                     (0, 0)))
+    Hp, Wp = xp.shape[1], xp.shape[2]
+    cols = []
+    for dy in range(kh):
+        for dx in range(kw):
+            sl = jax.lax.slice(
+                xp, (0, dy, dx, 0), (N, Hp, Wp, C), (1, 2, 2, 1))
+            cols.append(sl[:, :Ho, :Wo])
+    patches = jnp.concatenate(cols, axis=-1)            # [N, Ho, Wo, 9C]
+    wm = w.reshape(kh * kw * C, -1)                     # [9C, Cout]
+    out = patches.reshape(-1, kh * kw * C) @ wm
+    return out.reshape(N, Ho, Wo, -1)
+
+
 class ConvPerceptual:
     """3-tap strided conv pyramid; taps emulate mobilenet layers [2,4,7]
     feature strides (1/2, 1/4, 1/8)."""
@@ -59,7 +92,7 @@ class ConvPerceptual:
         x = img
         feats = []
         for w in params["ws"]:
-            x = jax.nn.relu(_conv(x, w, stride=2))
+            x = jax.nn.relu(_conv_im2col_s2(x, w))
             feats.append(x)
         return feats
 

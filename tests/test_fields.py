@@ -95,3 +95,23 @@ def test_eikonal_double_grad_compiles():
     assert jnp.isfinite(val)
     assert all(bool(jnp.all(jnp.isfinite(l)))
                for l in jax.tree_util.tree_leaves(grads))
+
+
+def test_conv_im2col_matches_lax_conv():
+    """The MXU-shaped im2col formulation of the perceptual conv must equal
+    lax.conv_general_dilated (SAME, stride 2) to f32 summation tolerance,
+    for both even and odd input sizes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from d3human_tpu.models.perceptual import _conv, _conv_im2col_s2
+
+    key = jax.random.PRNGKey(3)
+    for H, W, C, O in ((64, 64, 3, 24), (31, 45, 24, 48)):
+        k1, k2, key = jax.random.split(key, 3)
+        x = jax.random.normal(k1, (1, H, W, C))
+        w = jax.random.normal(k2, (3, 3, C, O)) / np.sqrt(9 * C)
+        a = np.asarray(_conv(x, w, 2))
+        b = np.asarray(_conv_im2col_s2(x, w))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
