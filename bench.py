@@ -150,10 +150,27 @@ def build(scale: str):
     render_kw = dict(train_res=res, texture_res=res, init_shading=shading)
     if jit_sub:
         render_kw["jitter_subsample"] = jit_sub
+    # Ablation knobs for step-cost attribution (each removes ONE loss-path
+    # component; differences vs the default run price that component
+    # fwd+bwd — the scan/micro profilers can't see through the fused step):
+    #   BENCH_PERC=none|pyramid|conv   perceptual backbone (default conv)
+    #   BENCH_NO_EIK=1                 drop the eikonal term (+ its
+    #                                  double-backprop MLP pass)
+    #   BENCH_NO_MSDFREG=1             drop the mesh-msdf open/close regs
+    from d3human_tpu.config import LossConfig
+    loss_kw = {}
+    perc = os.environ.get("BENCH_PERC", "")
+    if perc:
+        loss_kw["perceptual_backbone"] = perc
+    if os.environ.get("BENCH_NO_EIK", "0") == "1":
+        loss_kw["use_eikonal"] = False
+    if os.environ.get("BENCH_NO_MSDFREG", "0") == "1":
+        loss_kw["use_mesh_msdf_reg"] = False
     cfg = Config(
         field=FieldConfig(use_bfloat16=bf16),
         geometry=GeometryConfig(grid_res=grid_res, max_verts=mv, max_tets=mt),
         render=RenderConfig(**render_kw),
+        loss=LossConfig(**loss_kw),
         stages=StageConfig(init_epoch=2001),
     )
     scene = make_scene(resolution=(64, 64), n_frames=2)  # poses/camera only
@@ -193,7 +210,14 @@ def build(scale: str):
     kt, kl = jax.random.split(key)
     gparams = model.init_params(key, n_images=2)
     tex = MLPTexture3D(cfg.texture, (jnp.zeros((6,)), jnp.ones((6,))))
-    perceptual = ConvPerceptual()
+    if cfg.loss.perceptual_backbone == "none":
+        from d3human_tpu.models.perceptual import NullPerceptual
+        perceptual = NullPerceptual()
+    elif cfg.loss.perceptual_backbone == "pyramid":
+        from d3human_tpu.models.perceptual import PyramidPerceptual
+        perceptual = PyramidPerceptual()
+    else:
+        perceptual = ConvPerceptual()
     perc_params = perceptual.init()
     params = {
         "geometry": gparams,
@@ -205,8 +229,30 @@ def build(scale: str):
     # ref train.py:1040-1045 — the slowest stage per the r03d parity run at
     # 2.98 s/iter) with the shared level-1 extraction (get_meshes_pair).
     stage = os.environ.get("BENCH_STAGE", "init")
+    # BENCH_NO_AA=1 ablates the sparse-AA apply (XLA then dead-code-
+    # eliminates the pair geometry too) — prices AA fwd+bwd incl. the
+    # silhouette-gradient transposes
+    if os.environ.get("BENCH_NO_AA", "0") == "1":
+        from d3human_tpu.render import pipeline as _pl
+        _pl.apply_aa_sparse = lambda img, pairs: img
     tx, step_fn = make_train_step(stage, model, tex, perceptual,
                                   perc_params, cfg)
+    # BENCH_FWDONLY=1 times the loss evaluation alone (no grad/optimizer);
+    # default-minus-this = total backward+update cost
+    if os.environ.get("BENCH_FWDONLY", "0") == "1":
+        from d3human_tpu.train.step import make_stage_loss_fn
+        loss_fn = make_stage_loss_fn(stage, tex, perceptual, perc_params,
+                                     cfg, None)
+        consts = {"model": model.consts(), "template": None}
+
+        @jax.jit
+        def fwd_step(state, target, key, consts=consts):
+            total, aux = loss_fn(model.bind(consts["model"]),
+                                 consts["template"], state.params, target,
+                                 state.step, key)
+            return state, aux
+
+        step_fn = fwd_step
     state = TrainState(params=params, opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32))
     extras = {"model": model, "tex": tex, "perceptual": perceptual,

@@ -259,3 +259,31 @@ def test_axon_tunnel_dead_probe():
     except Exception:
         has_axon = False
     assert _axon_tunnel_dead(port=port, timeout_s=0.5) is has_axon
+
+
+def test_bench_ablation_knobs_construct(monkeypatch):
+    """BENCH_PERC / BENCH_NO_EIK / BENCH_NO_MSDFREG / BENCH_NO_AA /
+    BENCH_FWDONLY must build on CPU (the cost-attribution ablation set —
+    each removes one loss-path component; a config-field rename would
+    otherwise only fail on TPU)."""
+    monkeypatch.setenv("BENCH_PERC", "none")
+    monkeypatch.setenv("BENCH_NO_EIK", "1")
+    monkeypatch.setenv("BENCH_NO_MSDFREG", "1")
+    monkeypatch.setenv("BENCH_NO_AA", "1")
+    monkeypatch.setenv("BENCH_FWDONLY", "1")
+    monkeypatch.setenv("D3H_PLATFORM", "cpu")
+    import importlib
+
+    import bench
+    from d3human_tpu.render import pipeline as _pl
+    orig_aa = _pl.apply_aa_sparse
+    try:
+        state, step_fn, target, extras = bench.build("small")
+        cfg = extras["cfg"]
+        assert cfg.loss.perceptual_backbone == "none"
+        assert cfg.loss.use_eikonal is False
+        assert cfg.loss.use_mesh_msdf_reg is False
+        state, aux = step_fn(state, target, __import__("jax").random.PRNGKey(0))
+        assert "total" in aux
+    finally:
+        _pl.apply_aa_sparse = orig_aa
