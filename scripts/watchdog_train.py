@@ -47,6 +47,23 @@ def log_age_s(path: str) -> float:
         return 0.0
 
 
+def device_probe(timeout_s: float = 150.0) -> bool:
+    """The axon relay can be HALF-dead: TCP accepts connections but the
+    next client's backend init futex-waits forever (observed r4: the first
+    trainer after an idle gap wedged at 0% CPU and cost one full stale-min
+    window to detect). Probe with a disposable subprocess running one
+    trivial device op — killing a hung probe is free, and the trainer only
+    launches once a fresh client can actually reach the chip."""
+    cmd = [sys.executable, "-c",
+           "import jax; jax.numpy.zeros((1,)).block_until_ready(); "
+           "print('probe-ok')"]
+    try:
+        r = subprocess.run(cmd, timeout=timeout_s, capture_output=True)
+        return r.returncode == 0 and b"probe-ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def proc_tree_cpu_s(pid: int) -> float:
     """Cumulative CPU seconds (utime+stime) of ``pid`` AND its children,
     from /proc. The observed wedge (dead tunnel RPC stream) parks the
@@ -134,6 +151,11 @@ def main():
             if args.tunnel_port and not tunnel_alive(args.tunnel_port):
                 print(f"[watchdog] tunnel :{args.tunnel_port} down; waiting",
                       flush=True)
+                time.sleep(args.poll_s)
+                continue
+            if args.tunnel_port and not device_probe():
+                print("[watchdog] device probe hung/failed (half-dead "
+                      "relay); retrying before launch", flush=True)
                 time.sleep(args.poll_s)
                 continue
             if restarts > args.max_restarts:
