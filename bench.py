@@ -428,8 +428,11 @@ def main():
         jax.block_until_ready(aux["total"])
         ips = iters / (time.time() - t0)
         print(json.dumps({
-            "metric": f"seq-stage train iters/sec ({sub} scale: "
-                      f"subdivided template, raster res per config)",
+            "metric": (f"seq-stage train iters/sec ({sub} scale: "
+                       + ("static-skin-weights; "
+                          if os.environ.get("BENCH_SEQ_STATICW") == "1"
+                          else "")
+                       + "subdivided template, raster res per config)"),
             "value": round(ips, 3),
             "unit": "iters/sec",
             "vs_baseline": round(ips / SEQ_REFERENCE_ITERS_PER_SEC, 3),
