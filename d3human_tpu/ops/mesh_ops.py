@@ -23,9 +23,15 @@ def safe_normalize(x: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
 
 def face_normals(verts: jnp.ndarray, faces: jnp.ndarray,
                  normalize: bool = True) -> jnp.ndarray:
-    v0 = verts[faces[:, 0]]
-    v1 = verts[faces[:, 1]]
-    v2 = verts[faces[:, 2]]
+    # ONE fused corner gather whose custom-VJP backward is the Pallas
+    # sorted-COO scatter. The previous plain indexing (verts[faces[:, k]]
+    # x3) left its transpose to XLA scatter — 3 scatters of F rows per
+    # call, ~6 x 786k rows/step across the two compact-path calls at f3c
+    # scale (~90 ns/row: the dominant unattributed backward cost).
+    from d3human_tpu.ops.scatter import default_use_pallas, gather_rows
+
+    tri = gather_rows(verts, faces, default_use_pallas())      # [F, 3, 3]
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
     n = jnp.cross(v1 - v0, v2 - v0)
     return safe_normalize(n) if normalize else n
 

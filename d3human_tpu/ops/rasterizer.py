@@ -621,7 +621,9 @@ def aa_geometry_compact(verts_clip, faces, rast: Rast, pidx, pvalid,
     winner_id = jnp.where(a_wins, ida, idb)
     fid = jnp.maximum(winner_id - 1, 0)
 
-    tri = verts_clip[faces[fid]]                               # [Q, 3, 4]
+    from d3human_tpu.ops.scatter import default_use_pallas, gather_rows
+    tri = gather_rows(verts_clip, faces[fid],
+                      default_use_pallas())                    # [Q, 3, 4]
     w = tri[..., 3]
     w = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
     xs = (tri[..., 0] / w * 0.5 + 0.5) * W
