@@ -98,3 +98,30 @@ def test_ssim_identity():
     assert abs(s - 1.0) < 1e-4
     s2 = float(jax.jit(ssim)(img, 1.0 - img))
     assert s2 < 0.5
+
+
+def test_face_normals_gradient_matches_plain_indexing():
+    """face_normals now gathers corners via gather_rows (custom VJP ->
+    sorted-COO backward); its vertex gradient must equal the plain-indexing
+    formulation exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from d3human_tpu.ops.mesh_ops import face_normals, safe_normalize
+
+    key = jax.random.PRNGKey(11)
+    v = jax.random.normal(key, (40, 3))
+    f = jax.random.randint(jax.random.fold_in(key, 1), (25, 3), 0, 40)
+
+    def loss_new(v):
+        return jnp.sum(jnp.sin(face_normals(v, f)))
+
+    def loss_ref(v):
+        v0, v1, v2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+        n = safe_normalize(jnp.cross(v1 - v0, v2 - v0))
+        return jnp.sum(jnp.sin(n))
+
+    g_new = jax.grad(loss_new)(v)
+    g_ref = jax.grad(loss_ref)(v)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
