@@ -112,6 +112,12 @@ def test_face_normals_gradient_matches_plain_indexing():
     key = jax.random.PRNGKey(11)
     v = jax.random.normal(key, (40, 3))
     f = jax.random.randint(jax.random.fold_in(key, 1), (25, 3), 0, 40)
+    # degenerate faces (repeated vertex -> zero-area cross product) have
+    # ill-conditioned normalize gradients where fusion-order rounding
+    # dominates; real valid faces are non-degenerate (padded faces are
+    # masked by face_valid before any normal is consumed)
+    f = np.asarray(f)
+    f = jnp.asarray(f[[len(set(r)) == 3 for r in f.tolist()]])
 
     def loss_new(v):
         return jnp.sum(jnp.sin(face_normals(v, f)))
