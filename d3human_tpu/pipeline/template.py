@@ -50,14 +50,18 @@ def rewatertight(verts: np.ndarray, faces: np.ndarray, grid_res: int = 96,
     sdf = jnp.asarray(mesh_sdf_host(np.asarray(grid.verts), verts, faces,
                                     sign_convention="pos_inside"))
 
-    def extract(mv, mt):
-        msdf = jnp.ones((grid.n_verts,))
-        return gshell_extract(grid, grid.verts, sdf, msdf, mv, mt)
+    # grid + sdf enter the jit as ARGUMENTS: closing over them bakes the
+    # 96^3 lattice into the HLO as constants and the axon remote-compile
+    # rejects the payload (HTTP 413 — killed the first full-scale merge)
+    def extract(g, s, mv, mt):
+        msdf = jnp.ones_like(s)
+        return gshell_extract(g, g.verts, s, msdf, mv, mt)
 
+    extract_j = jax.jit(extract, static_argnums=(2, 3))
     # capacity overflow silently drops faces (-> holes); retry doubled
     mv, mt = max_verts, max_tets
     for _ in range(4):
-        mesh = jax.jit(extract, static_argnums=(0, 1))(mv, mt)
+        mesh = extract_j(grid, sdf, mv, mt)
         if int(mesh.n_cross) <= mv and int(mesh.n_valid_tets) <= mt:
             break
         mv, mt = mv * 2, mt * 2
@@ -73,13 +77,9 @@ def push_body_inside_cloth(body_v: np.ndarray, body_f: np.ndarray,
     """Move body vertices that poke through nearby cloth inward along their
     vertex normal (ref deform_body_collision, script...:331). Only vertices
     within `influence` of the cloth are touched."""
-    bv = jnp.asarray(body_v, jnp.float32)
-    bf = jnp.asarray(body_f, jnp.int32)
-    cv = jnp.asarray(cloth_v, jnp.float32)
-    cf = jnp.asarray(cloth_f, jnp.int32)
-
     @jax.jit
-    def run():
+    def run(bv, bf, cv, cf):
+        # meshes as arguments, not closure constants (axon 413 guard)
         n_body = mesh_ops.auto_normals(bv, bf)
         centers = cv[cf].mean(axis=1)
         n_cloth = mesh_ops.face_normals(cv, cf)
@@ -94,7 +94,10 @@ def push_body_inside_cloth(body_v: np.ndarray, body_f: np.ndarray,
         shift = jnp.where(need, signed + push_eps, 0.0)
         return bv - n_body * shift[:, None]
 
-    return np.asarray(run())
+    return np.asarray(run(jnp.asarray(body_v, jnp.float32),
+                          jnp.asarray(body_f, jnp.int32),
+                          jnp.asarray(cloth_v, jnp.float32),
+                          jnp.asarray(cloth_f, jnp.int32)))
 
 
 def find_open_edges(faces: np.ndarray):
@@ -152,12 +155,13 @@ def distance_cut(src_v: np.ndarray, src_f: np.ndarray, ref_v: np.ndarray,
     from d3human_tpu.ops.knn import knn
 
     @jax.jit
-    def dists():
-        sq, _ = knn(jnp.asarray(src_v, jnp.float32),
-                    jnp.asarray(ref_v, jnp.float32), k=1)
+    def dists(sv, rv):
+        # meshes as arguments, not closure constants (axon 413 guard)
+        sq, _ = knn(sv, rv, k=1)
         return jnp.sqrt(sq[:, 0] + 1e-12)
 
-    d = np.asarray(dists())
+    d = np.asarray(dists(jnp.asarray(src_v, jnp.float32),
+                         jnp.asarray(ref_v, jnp.float32)))
     keep_v = d <= thresh
     valid = src_f[keep_v[src_f].all(axis=1)]
     if len(valid) == 0:
@@ -271,13 +275,15 @@ def merge_body_cloth(
         from d3human_tpu.ops.knn import knn as jknn
 
         @jax.jit
-        def cover_dist():
-            centers = jnp.asarray(cv, jnp.float32)[jnp.asarray(cf, jnp.int32)]
-            centers = centers.mean(axis=1)
-            sq, _ = jknn(jnp.asarray(wbv), centers, k=1)
+        def cover_dist(b, v, f):
+            # meshes as arguments, not closure constants (axon 413 guard)
+            centers = v[f].mean(axis=1)
+            sq, _ = jknn(b, centers, k=1)
             return jnp.sqrt(sq[:, 0] + 1e-12)
 
-        d = np.asarray(cover_dist())
+        d = np.asarray(cover_dist(jnp.asarray(wbv, jnp.float32),
+                                  jnp.asarray(cv, jnp.float32),
+                                  jnp.asarray(cf, jnp.int32)))
         inside = np.nonzero(d < cover_eps)[0]
         outside = np.nonzero(d >= cover_eps)[0]
 
