@@ -323,6 +323,8 @@ def run_seq_stage(
     frame 0 gets seq_iters_first, later frames seq_iters_rest; capped at
     seq_max_frames). The frame-parallel variant lives in parallel/frames.py."""
     os.makedirs(os.path.join(save_path, "delta"), exist_ok=True)
+    ckp_dir = os.path.join(save_path, "ckp")
+    os.makedirs(ckp_dir, exist_ok=True)
     n_frames = min(n_frames, cfg.stages.seq_max_frames)
     timer = StepTimer()
     logger = ScalarLogger(os.path.join(save_path, "loss_log"))
@@ -332,7 +334,20 @@ def run_seq_stage(
         lambda c, g, t, p, i: model.bind(c).seq_deformed(g, t, p, i))
     visible_fn = _make_visible_triangles_fn(cfg)
     consts = model.consts()
-    for frame in range(n_frames):
+    # per-frame resume: the post-frame state checkpoint is written after the
+    # frame's artifacts, so its presence marks the frame complete; the serial
+    # warm start (ref train.py:1349-1352) resumes exactly from the last one
+    start_frame = 0
+    from d3human_tpu.train.checkpoint import load_state, save_state
+    for frame in range(n_frames - 1, -1, -1):
+        p = os.path.join(ckp_dir, f"state_frame{frame}.npz")
+        if os.path.exists(p):
+            state = load_state(p, state)
+            start_frame = frame + 1
+            print(f"[seq] resume: frames 0..{frame} complete, "
+                  f"starting at frame {start_frame}", flush=True)
+            break
+    for frame in range(start_frame, n_frames):
         iters = (cfg.stages.seq_iters_first if frame == 0
                  else cfg.stages.seq_iters_rest)
         target = frame_targets(frame)
@@ -364,5 +379,6 @@ def run_seq_stage(
                                               target["mvp"]))
         mesh_io.write_ply(os.path.join(save_path, f"fine_all_{frame}.ply"),
                           np.asarray(posed), np.asarray(template.f))
+        save_state(os.path.join(ckp_dir, f"state_frame{frame}.npz"), state)
     logger.close()
     return state

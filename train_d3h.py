@@ -370,18 +370,31 @@ def main():
                                     "final")
         record_parity("split", sdir, paths,
                       scene if args.synthetic else None)
-        ch = process_close_hole(
-            os.path.join(cfg.out_dir, "close_hole_split_cloth0"),
-            paths["body"], paths["cloth"])
+        # host merge pipeline, resume-aware: on --resume, completed outputs
+        # are reused (each marker below is the step's last-written file), so
+        # a watchdog relaunch during the seq stage does not repay the ~15 min
+        # close-hole + merge host/TPU work
+        ch_dir = os.path.join(cfg.out_dir, "close_hole_split_cloth0")
+        ch = {"body": os.path.join(ch_dir, "body_concat.obj"),
+              "cloth": os.path.join(ch_dir, "cloth_concat.obj"),
+              "bbox": os.path.join(ch_dir, "bbox.npz")}
+        if not (args.resume and os.path.exists(ch["bbox"])):
+            ch = process_close_hole(ch_dir, paths["body"], paths["cloth"])
+        else:
+            print("[close_hole] resume: reusing", ch_dir, flush=True)
         # SMPL template mesh: the under-cloth body patch donor for the
         # distance cut (ref smpl_cloth_path, script...:629-690)
         from d3human_tpu.utils import io as mesh_io
         smpl_path = os.path.join(cfg.out_dir, "smpl_template.obj")
         mesh_io.write_obj(smpl_path, np.asarray(canon.vs_template[0]),
                           np.asarray(deformer.model.faces))
-        merge_body_cloth(process_dir, ch["body"], ch["cloth"],
-                         grid_res=min(96, cfg.geometry.grid_res),
-                         smpl_obj=smpl_path, bbox_npz=ch.get("bbox"))
+        merge_marker = os.path.join(process_dir, "inside_body_index.npz")
+        if not (args.resume and os.path.exists(merge_marker)):
+            merge_body_cloth(process_dir, ch["body"], ch["cloth"],
+                             grid_res=min(96, cfg.geometry.grid_res),
+                             smpl_obj=smpl_path, bbox_npz=ch.get("bbox"))
+        else:
+            print("[merge] resume: reusing", process_dir, flush=True)
 
     if "seq" in stages:
         template = build_seq_template(process_dir)
