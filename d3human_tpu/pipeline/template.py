@@ -70,6 +70,46 @@ def rewatertight(verts: np.ndarray, faces: np.ndarray, grid_res: int = 96,
     return mesh_io.weld_mesh(wv, wf)
 
 
+def cluster_decimate(v: np.ndarray, f: np.ndarray, n_cells: int = 512,
+                     target_faces: int | None = None
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Vertex-clustering decimation: snap vertices to a uniform grid over
+    the mesh bbox, collapse each cell's vertices to their mean, drop
+    degenerate and duplicate faces.
+
+    This is the density-control role of the reference's meshlabserver
+    isotropic remesh (script/process_body_cloth_head_msdfcut.py:318-323):
+    marching tets over the body-tight 96^3 lattice emits ~1.6M faces —
+    ~10x more than the seq stage can rasterize (20-bit packed face ids,
+    ops/rasterizer.py:198) or KNN-skin per iteration. With
+    ``target_faces`` the grid is coarsened (x0.75) until the result fits.
+    Documented deviation: clustering may leave isolated non-manifold
+    edges where meshlab's remesh would not; the seq consumers (render,
+    LBS, laplacian/normal losses via connected_faces) are agnostic."""
+    v = np.asarray(v, np.float64)
+    f = np.asarray(f)
+    while True:
+        lo = v.min(axis=0)
+        span = float((v.max(axis=0) - lo).max()) or 1.0
+        h = span / n_cells
+        key = np.minimum((np.floor((v - lo) / h)).astype(np.int64),
+                         n_cells - 1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        nv = np.zeros((len(uniq), 3), np.float64)
+        cnt = np.zeros(len(uniq), np.int64)
+        np.add.at(nv, inv, v)
+        np.add.at(cnt, inv, 1)
+        nv = nv / cnt[:, None]
+        nf = inv[f]
+        nf = nf[(nf[:, 0] != nf[:, 1]) & (nf[:, 1] != nf[:, 2])
+                & (nf[:, 0] != nf[:, 2])]
+        _, ui = np.unique(np.sort(nf, axis=1), axis=0, return_index=True)
+        nf = nf[np.sort(ui)]
+        if target_faces is None or len(nf) <= target_faces or n_cells <= 16:
+            return nv.astype(np.float32), nf.astype(np.int64)
+        n_cells = max(16, int(n_cells * 0.75))
+
+
 def push_body_inside_cloth(body_v: np.ndarray, body_f: np.ndarray,
                            cloth_v: np.ndarray, cloth_f: np.ndarray,
                            push_eps: float = 0.004,
@@ -246,8 +286,14 @@ def merge_body_cloth(
             soup_v = np.concatenate([soup_v, sv]).astype(np.float32)
             soup_f = np.concatenate([soup_f, sf_cut + len(bv)])
 
-    # 3. watertight/remeshed body
+    # 3. watertight/remeshed body; clustering brings the marching-tets
+    # density down to the reference template's remeshed scale BEFORE head
+    # subdivision (x4 in-bbox) and the per-iteration seq KNN skinning —
+    # without it the full-scale merge emits 1.58M body faces, which blows
+    # the rasterizer's 20-bit face-id pack in the first seq step
     wbv, wbf = rewatertight(soup_v, soup_f, grid_res=grid_res)
+    wbv, wbf = cluster_decimate(wbv, wbf, n_cells=512,
+                                target_faces=300_000)
 
     # 4. head subdivision
     if bbox_npz is not None and os.path.exists(bbox_npz):
@@ -262,6 +308,10 @@ def merge_body_cloth(
     f = np.concatenate([wbf, cf + len(wbv)]).astype(np.int64)
     face_labels = np.concatenate([
         np.zeros(len(wbf), np.int64), np.ones(len(cf), np.int64)])
+    # the seq rasterizer packs face ids into 20 bits (ops/rasterizer.py:198)
+    assert len(f) < (1 << 20), (
+        f"merged template has {len(f)} faces; lower cluster_decimate's "
+        f"target_faces or the merge grid_res")
 
     # inside/outside body vertex sets: inside the WATERTIGHT cloth (ref
     # find_inside_point on a pysdf of the Poisson'd cloth, :744-747);

@@ -200,3 +200,28 @@ def test_merge_degraded_split_matches_clean(tmp_path):
     # (cell ~ 0.8/24 = 0.033; the 15%-hole degradation is real missing
     # geometry the SDF fill reconstructs to within a cell)
     assert ch < 0.03, ch
+
+
+def test_cluster_decimate_sphere():
+    """Density control for the merged template (meshlab isotropic-remesh
+    role, ref script...:318-323): face count must land under target while
+    vertices stay within one cluster cell of the original surface — the
+    full-scale merge emits 1.58M marching-tets body faces, which blows the
+    rasterizer's 20-bit face-id pack in the seq stage without this."""
+    from d3human_tpu.pipeline.template import cluster_decimate
+
+    v, f = icosphere(radius=0.5, n=5)   # 8*4^5 = 8192 faces
+    nv, nf = cluster_decimate(v, f, n_cells=64, target_faces=2000)
+    assert len(nf) <= 2000
+    assert len(nf) > 200                      # not collapsed to mush
+    # every decimated vertex is a cell-mean of original verts -> must stay
+    # within a cell diagonal of the sphere
+    r = np.linalg.norm(nv, axis=1)
+    cell = 1.0 / 64 * np.sqrt(3)
+    assert np.all(np.abs(r - 0.5) < cell + 1e-6)
+    # no degenerate or duplicate faces
+    assert np.all(nf[:, 0] != nf[:, 1])
+    assert np.all(nf[:, 1] != nf[:, 2])
+    assert np.all(nf[:, 0] != nf[:, 2])
+    s = np.sort(nf, axis=1)
+    assert len(np.unique(s, axis=0)) == len(s)

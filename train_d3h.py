@@ -103,6 +103,14 @@ def main():
 
     parity: dict = {"config": args.config, "iters_scale": args.iters_scale,
                     "stages": {}}
+    # on --resume, keep entries of stages this invocation doesn't re-run
+    # (e.g. a --stages split,seq relaunch must not clobber init's entry)
+    _ppath = os.path.join(cfg.out_dir, "PARITY.json")
+    if args.resume and os.path.exists(_ppath):
+        try:
+            parity["stages"].update(_json.load(open(_ppath)).get("stages", {}))
+        except Exception:
+            pass
 
     def record_parity(stage_name, stage_dir, mesh_paths=None, scene=None,
                       frame=0):
