@@ -168,6 +168,16 @@ def run_stage(
                        state)
         if it % validate_every == 0 and it != 0:
             maybe_validate(it)
+    fm_path = os.path.join(save_path, "validate", "final_metrics.json")
+    if start_it >= n_iters and os.path.exists(fm_path):
+        # resumed past the end of an already-validated stage: the state is
+        # unchanged, so re-running the final validation only repays its
+        # render compiles (and re-exposes the run to transient
+        # remote-compile failures — one SIGKILL'd helper cost a full replay)
+        print(f"[{stage}] resume: stage complete, reusing {fm_path}",
+              flush=True)
+        logger.close()
+        return state
     save_state(os.path.join(save_path, "ckp", f"state_{n_iters - 1}.npz"),
                state)
     final_metrics = maybe_validate(n_iters - 1)
