@@ -287,3 +287,18 @@ def test_bench_ablation_knobs_construct(monkeypatch):
         assert "total" in aux
     finally:
         _pl.apply_aa_sparse = orig_aa
+
+
+def test_bench_build_seq_stage_constructs(monkeypatch):
+    """BENCH_SCALE=seq must build: explicit-template seq step over a
+    midpoint-subdivided synthetic body (the merged-template stand-in).
+    Build-only so the guard stays fast on CPU — the r4 queue runs this
+    bench on the chip, and a construction break would otherwise surface
+    only there."""
+    monkeypatch.setenv("D3H_PLATFORM", "cpu")
+    import bench
+
+    state, step_fn, target, extras = bench.build_seq("small")
+    assert callable(step_fn)
+    assert "all_img" in target
+    assert "cfg" in extras
