@@ -240,6 +240,12 @@ def main():
         ("render + perceptual", r_perc),
         ("tick_init fwd", r_tick),
     ]
+    # LADDER_RUNGS=0,2,5 selects a subset (full-scale compiles are ~1-5 min
+    # EACH; on the TPU pick the rungs the current question needs)
+    sel = os.environ.get("LADDER_RUNGS", "")
+    if sel:
+        want = {int(s) for s in sel.split(",")}
+        rungs = [r for i, r in enumerate(rungs) if i in want]
     results = {}
     for name, fn in rungs:
         try:
