@@ -328,10 +328,13 @@ def run_seq_stage(
     save_path: str,
     key,
     model: GeometryModel,
+    tex_module=None,
 ):
     """Serial per-frame seq driver (ref train.py:1921-1926 + 1349-1352:
     frame 0 gets seq_iters_first, later frames seq_iters_rest; capped at
-    seq_max_frames). The frame-parallel variant lives in parallel/frames.py."""
+    seq_max_frames). The frame-parallel variant lives in parallel/frames.py.
+    With ``tex_module`` given, each completed frame also writes a per-part
+    opt-vs-ref validation strip + metrics (ref validate_itr_all)."""
     os.makedirs(os.path.join(save_path, "delta"), exist_ok=True)
     ckp_dir = os.path.join(save_path, "ckp")
     os.makedirs(ckp_dir, exist_ok=True)
@@ -389,6 +392,20 @@ def run_seq_stage(
                                               target["mvp"]))
         mesh_io.write_ply(os.path.join(save_path, f"fine_all_{frame}.ply"),
                           np.asarray(posed), np.asarray(template.f))
+        if tex_module is not None:
+            from d3human_tpu.train.validate import validate_seq_stage
+            vdir = os.path.join(save_path, "validate")
+            os.makedirs(vdir, exist_ok=True)
+            strip, metrics = validate_seq_stage(
+                jax.random.fold_in(key, 0x7EADBEE + frame), model,
+                state.params, tex_module, template, target, cfg)
+            mesh_io.save_image(
+                os.path.join(vdir, f"seq_frame{frame:04d}.png"), strip)
+            logger.log(frame * 100000 + iters, {
+                f"val_{k}": v for k, v in metrics.items()})
+            print(f"[seq] validate frame={frame}: "
+                  + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()),
+                  flush=True)
         save_state(os.path.join(ckp_dir, f"state_frame{frame}.npz"), state)
     logger.close()
     return state

@@ -104,6 +104,88 @@ def validate_stage(key, model: GeometryModel, params: Dict, tex_module,
     return strip
 
 
+def validate_seq_stage(key, model: GeometryModel, params: Dict, tex_module,
+                       template: SeqTemplate, target: Dict, cfg: Config,
+                       raster_opts=None):
+    """Seq-stage validation: one full-path render of the posed template,
+    mask-decomposed into cloth/body via the mesh_id buffer (the tick's own
+    decomposition, ref hmsdf.py:788-798), tiled as the per-part opt-vs-ref
+    matrix the reference inspects after each frame (ref validate_itr_all,
+    /root/reference/train.py:441-537). Rows: union / cloth / body; columns
+    [opt | ref RGB | opt mask | ref mask | normal | depth | mask-combine].
+
+    Returns (strip, metrics) with union psnr/mask_iou + per-part IoUs."""
+    from d3human_tpu.render.pipeline import render_mesh
+    from d3human_tpu.utils.metrics import iou, psnr
+
+    consts = model.consts()
+
+    def _render(c, g, t, p, m, tgt, k):
+        mdl = model.bind(c)
+        posed, _ = mdl.seq_deformed(g, t, p, tgt["frame_idx"])
+        return render_mesh(
+            k, verts=posed, verts_original=t.v, faces=t.f,
+            face_valid=jnp.ones((t.f.shape[0],), bool),
+            mvp=tgt["mvp"], campos=tgt["campos"],
+            resolution=tuple(cfg.render.train_res),
+            tex_module=tex_module, tex_params=m,
+            background=tgt["background"], face_labels=t.face_labels,
+            spp=cfg.render.spp, raster_opts=raster_opts,
+            max_covered_frac=cfg.render.max_covered_frac, compact=False)
+
+    render_j = _cached_jit("seq", model, tex_module,
+                           (cfg, _freeze_opts(raster_opts)),
+                           lambda: jax.jit(_render))
+    buf = render_j(consts, params["geometry"], template, params["pose"],
+                   params["material"], target, key)
+    alpha = buf.alpha
+    vl = buf.mesh_id
+    part_mask = {"cloth": vl * alpha, "body": (1.0 - vl) * alpha}
+    gt = target["all_img"]
+    metrics = {
+        "psnr": float(psnr(buf.shaded[..., :3] * gt[..., 3:],
+                           gt[..., :3] * gt[..., 3:])),
+        "mask_iou": float(iou(alpha[..., 0] > 0.5, gt[..., 3] > 0.5)),
+    }
+    for part, m in part_mask.items():
+        tp = target.get(f"{part}_img")
+        if tp is not None:
+            metrics[f"{part}_iou"] = float(
+                iou(m[..., 0] > 0.5, tp[..., 3] > 0.5))
+
+    depth_panel = jnp.asarray(depth_display(buf))
+    gt_nrm = target.get("all_normal")
+    nrm_panel = ((gt_nrm[..., :3] + 1.0) / 2.0 if gt_nrm is not None
+                 else jnp.zeros_like(buf.shaded[..., :3]))
+    union_row = [
+        rgb_to_srgb(jnp.clip(buf.shaded[..., :3], 0, 1)),
+        rgb_to_srgb(jnp.clip(gt[..., :3], 0, 1)),
+        _gray3(alpha),
+        _gray3(gt[..., 3:]),
+        _norm_display(buf.geometric_normal),
+        nrm_panel,
+        combine_mask(gt[..., 3:], alpha),
+    ]
+
+    def _part_row(part):
+        m = part_mask[part]
+        tp = target.get(f"{part}_img", gt)
+        return [
+            rgb_to_srgb(jnp.clip(buf.shaded[..., :3] * m, 0, 1)),
+            rgb_to_srgb(jnp.clip(tp[..., :3], 0, 1)),
+            _gray3(m),
+            _gray3(tp[..., 3:]),
+            _norm_display(buf.geometric_normal) * m,
+            depth_panel,
+            combine_mask(tp[..., 3:], m),
+        ]
+
+    rows = [jnp.concatenate(p, axis=1)
+            for p in (union_row, _part_row("cloth"), _part_row("body"))]
+    strip = np.asarray(jnp.concatenate(rows, axis=0))
+    return strip, metrics
+
+
 def depth_display(buffers: MeshBuffers) -> np.ndarray:
     """Normalized depth panel (ref train.py:378-383)."""
     d = buffers.depth[..., :1]

@@ -433,7 +433,8 @@ def main():
             run_seq_stage(state, step_fn, template, get_frame,
                           n_frames=n_images, cfg=cfg_seq,
                           save_path=os.path.join(cfg.out_dir, "seq"),
-                          key=jax.random.fold_in(kRun, 3), model=model)
+                          key=jax.random.fold_in(kRun, 3), model=model,
+                          tex_module=tex)
         if args.synthetic:
             # per-frame Chamfer of the fitted seq meshes vs the GT posed
             # surfaces (BASELINE.md protocol on fine_all_*.ply)
