@@ -211,14 +211,34 @@ def main():
             cfg = dataclasses.replace(cfg0, stages=dataclasses.replace(
                 cfg0.stages, synthetic_target_cache=True))
         elif arm == "denseaa":
-            # VERDICT r3 weak#5 discriminator: dense antialiasing (every
-            # neighbor pair, no sparse candidate filter / capacity) at the
-            # reference lr 0.03. If the collapse persists with dense AA,
-            # "sparse-AA gradient structure" is falsified as the mechanism;
-            # if it survives, the sparse filter is dropping load-bearing
-            # silhouette gradient mass.
+            # dense antialiasing (every neighbor pair, no sparse candidate
+            # filter / capacity) at the CONFIG's lr. NOTE: with
+            # f3c_synth.json this is the stabilized 0.003 (init_lr_scale
+            # 0.1 is pinned there) — an AA-equivalence check at the
+            # shipped settings, NOT the lr-0.03 discriminator. Use
+            # denseaa03/conv03 for the stability hypothesis.
             cfg = dataclasses.replace(cfg0, render=dataclasses.replace(
                 cfg0.render, aa_dense=True))
+        elif arm in ("denseaa03", "conv03"):
+            # the VERDICT r3 weak#5 discriminator, done right: TRUE
+            # reference lr 0.03 (init_lr_scale reset to 1.0), dense vs
+            # sparse AA otherwise identical. exp-1's conv arm at true 0.03
+            # collapsed at it~=450; denseaa03 collapsing too falsifies
+            # "sparse-AA gradient structure" as the mechanism, denseaa03
+            # surviving convicts the sparse pair filter.
+            cfg = dataclasses.replace(
+                cfg0,
+                optim=dataclasses.replace(cfg0.optim, init_lr_scale=1.0),
+                render=dataclasses.replace(
+                    cfg0.render, aa_dense=(arm == "denseaa03")))
+        elif arm == "softmask":
+            # candidate (a) falsifier (STABILITY.md round-4 note): TRUE lr
+            # 0.03 + GT mattes softened with a ~2 px gaussian edge
+            # (matting realism — real captures never have binary-exact
+            # masks). Candidate (a) predicts this arm survives where
+            # conv03 collapses.
+            cfg = dataclasses.replace(cfg0, optim=dataclasses.replace(
+                cfg0.optim, init_lr_scale=1.0))
         else:
             raise SystemExit(f"unknown arm {arm}")
 
@@ -227,6 +247,30 @@ def main():
             from d3human_tpu.data.synthetic import CachedTargets
 
             get_t = CachedTargets(scene).frame_target
+        elif arm == "softmask":
+            # ~2 px separable gaussian on the GT alpha (rgb untouched):
+            # the mask MSE / msdf-hinge objective sees a soft silhouette
+            # basin instead of a binary-exact one
+            k1 = jnp.asarray([0.0545, 0.2442, 0.4026, 0.2442, 0.0545])
+
+            @jax.jit
+            def _soften(img):
+                pad = jnp.pad(img[..., 3], 2, mode="edge")
+                h = sum(k1[i] * pad[:, i:i + img.shape[1]] for i in range(5))
+                h = h[2:-2]
+                v = jnp.pad(h, ((2, 2), (0, 0)), mode="edge")
+                a2 = sum(k1[i] * v[i:i + img.shape[0]] for i in range(5))
+                return jnp.concatenate([img[..., :3], a2[..., None]], -1)
+
+            _soft_cache = {}
+
+            def get_t(fi, _base=scene.frame_target):
+                fi = int(fi)
+                if fi not in _soft_cache:
+                    t = dict(_base(fi))
+                    t["all_img"] = _soften(t["all_img"])
+                    _soft_cache[fi] = t
+                return _soft_cache[fi]
 
         perceptual = BACKBONES[backbone]()
         perc_params = perceptual.init()
