@@ -174,6 +174,12 @@ class LossConfig:
     # (models/mobilenet.py; pretrained when perceptual_npz exists, else
     # deterministic He-init — A/B: scripts/ab_perceptual.py).
     # 'conv' = the lighter 3-tap random-projection pyramid.
+    # Default decision (AB_PERCEPTUAL_SPLIT.json, f3c split scale, 400
+    # iters): conv vs none are identical on every quality metric (chamfer
+    # within 0.5%, IoU 0.903/0.905, PSNR 26.2 both) and conv costs ~2%
+    # wall-clock after the im2col rewrite — 'conv' stays as the
+    # reference-shaped default (the ref always applies its perceptual
+    # term, hmsdf.py:901); 'none' is a supported, quality-neutral ablation.
     perceptual_backbone: str = "conv"
     perceptual_npz: str = "d3human_tpu/data/mobilenet_v2_features.npz"
 
