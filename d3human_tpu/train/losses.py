@@ -233,7 +233,20 @@ def tick_split_one(key, model: GeometryModel, params, pose_params,
         eps = 1e-3
         open_s = cfg.loss.msdf_reg_open_scale
         close_s = cfg.loss.msdf_reg_close_scale
-        msdf_aug = meshes.mesh.msdf_aug * sign   # sign-corrected view
+        # mesh.msdf_aug is ALREADY the sign-corrected view: _gshell_level2
+        # multiplies by msdf_sign before storing (body mesh carries -raw,
+        # exactly the reference's extra['msdf'] of the negated field,
+        # ref hmsdf_tets_split.py:254-264 + :440-447). Re-applying `sign`
+        # here (a r2-r4 bug) returned the body half to the RAW view, which
+        # inverts its open/close regularizers: the body open term then
+        # pushes raw mSDF NEGATIVE (expanding body into cloth) instead of
+        # shrinking the body shell — a systematic anti-cloth pressure that
+        # matched the observed split-stage cloth regression
+        # (PARITY_MULTIVIEW_r04: cloth IoU 0.444->0.408 across split).
+        # Smoking gun: body/cloth mesh_msdf_reg logs were bit-identical
+        # (both halves share aug vertex slots; raw view == raw view),
+        # where correct views are sign-mirrored and differ.
+        msdf_aug = meshes.mesh.msdf_aug
         if open_s > 0:
             mesh_msdf_reg = open_s * regscale * _huber_sum(
                 jnp.clip(msdf_aug, -eps, None), -eps)

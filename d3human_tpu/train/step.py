@@ -117,6 +117,17 @@ def make_train_step(stage: str, model: GeometryModel, tex_module,
         params = _post_step(params, model)
         new_state = TrainState(params=params, opt_state=opt_state,
                                step=state.step + 1)
+        if stage == "split":
+            # per-iter mSDF gradient telemetry (r4 verdict diagnostic): the
+            # garment/body boundary only moves if gradient actually reaches
+            # the mSDF field (through the rendered-msdf hinges, the mesh
+            # open/close regs, and AA silhouette gradients via boundary
+            # vertex positions). A ~0 norm here while cloth IoU stalls
+            # localizes the failure to the gradient path, not the optimizer.
+            gm = grads["geometry"]["msdf"]
+            aux = dict(aux)
+            aux["msdf_grad_norm"] = jnp.sqrt(jnp.sum(gm * gm))
+            aux["msdf_grad_absmax"] = jnp.max(jnp.abs(gm))
         return new_state, aux
 
     def step_fn(state, target, key):

@@ -128,6 +128,61 @@ def test_split_stage_runs(setup):
     assert float(aux["body_msk_loss"]) >= 0
 
 
+def test_split_msdf_reg_uses_signed_view(setup):
+    """Regression (r5 fix): the split tick's open/close mSDF regularizers
+    must act on each half's OWN sign-corrected msdf view (mesh.msdf_aug,
+    already signed by _gshell_level2 — ref hmsdf_tets_split.py:254-264
+    negates mSDF for body before everything downstream). The former
+    `msdf_aug * sign` double-application returned the body half to the raw
+    view, inverting its regularizers (and making cloth/body reg logs
+    bit-identical, since both halves share aug vertex slots)."""
+    from d3human_tpu.train import losses as L
+
+    cfg, scene, model, gparams, _ = setup
+    key = jax.random.PRNGKey(5)
+    kt, kl, kp = jax.random.split(key, 3)
+    tex = MLPTexture3D(cfg.texture, (jnp.zeros((6,)), jnp.ones((6,))))
+    perceptual = ConvPerceptual(channels=(8, 16, 24))
+    perc_params = perceptual.init()
+    params = {
+        "geometry": jax.tree.map(jnp.array, gparams),
+        "pose": jax.tree.map(jnp.array, scene.pose_params),
+        "material": tex.init(kt),
+        "light": light_mod.create_trainable_env(kl, cfg.render.probe_res),
+    }
+    # make the msdf field spatially asymmetric so the two signed views are
+    # numerically distinct (symmetric-around-zero fields could alias)
+    g = model.grid
+    params["geometry"]["msdf"] = jnp.tanh(3.0 * g.verts[:, 1] + 0.2)
+    target = scene.frame_target(0)
+    raster_opts = dict(tile=(8, 16), max_faces_per_tile=256, bin_expand=8,
+                       max_global=256)
+    aux = jax.jit(lambda c, p, t: L.tick_split(
+        kp, model.bind(c), p["geometry"], p["pose"], tex, p["material"],
+        perceptual, perc_params, t, jnp.int32(7), cfg, raster_opts,
+    ))(model.consts(), params, target)
+    cloth_reg = float(aux["cloth_mesh_msdf_reg_loss"])
+    body_reg = float(aux["body_mesh_msdf_reg_loss"])
+    assert cloth_reg != body_reg, (
+        "cloth/body mesh-msdf regs identical — raw-view double-sign bug")
+
+    # oracle: recompute the body half's open term from its OWN msdf_aug
+    meshes_c, meshes_b = jax.jit(
+        lambda c, p, t: model.bind(c).get_meshes_pair(
+            p["geometry"], p["pose"], t["frame_idx"])
+    )(model.consts(), params, target)
+    regscale = (64.0 / cfg.geometry.grid_res) ** 3
+    eps = 1e-3
+    want_open = cfg.loss.msdf_reg_open_scale * regscale * float(
+        L._huber_sum(jnp.clip(meshes_b.mesh.msdf_aug, -eps, None), -eps))
+    # body reg = open + close; close >= 0, and open alone must already be
+    # reproduced by the signed view (the raw view gives a different value)
+    assert body_reg >= want_open - 1e-9
+    raw_open = cfg.loss.msdf_reg_open_scale * regscale * float(
+        L._huber_sum(jnp.clip(-meshes_b.mesh.msdf_aug, -eps, None), -eps))
+    assert abs(want_open - raw_open) > 1e-9, "test scene not discriminating"
+
+
 def test_validate_stage_jit_cache_reused(setup):
     """validate_stage must reuse one compiled render across calls (a fresh
     jit per validation recompiles the full render every save_interval)."""
