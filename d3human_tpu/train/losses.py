@@ -295,7 +295,13 @@ def tick_split_one(key, model: GeometryModel, params, pose_params,
 
     geo_reg = sdf_reg + eik
     shading_reg = mtl_smooth + chroma
-    reg_loss = geo_reg + shading_reg + mesh_msdf_reg
+    # mesh_msdf_reg is LOG-ONLY in the reference: tick_split returns it but
+    # reg_loss = geo_reg + shading_reg (ref hmsdf.py:1049-1051) and the
+    # driver's total never adds it (ref train.py:1087 — grep shows the only
+    # uses are tensorboard writes at :1116,:1135). Rounds 2-4 summed it into
+    # the total here — with the body half additionally on the raw-sign view
+    # — a compounding deviation that pressured mSDF toward body everywhere.
+    reg_loss = geo_reg + shading_reg
     out = {
         "img_loss": img_loss, "msk_loss": msk_loss, "eik_loss": eik,
         "sdf_reg_loss": sdf_reg, "mesh_msdf_reg_loss": mesh_msdf_reg,
