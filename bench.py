@@ -240,6 +240,10 @@ def build(scale: str):
     # BENCH_FWDONLY=1 times the loss evaluation alone (no grad/optimizer);
     # default-minus-this = total backward+update cost
     if os.environ.get("BENCH_FWDONLY", "0") == "1":
+        # the FWDONLY consts thread template=None, which only the seq stage
+        # consumes — fail loudly instead of crashing inside the loss
+        assert stage in ("init", "split"), \
+            f"BENCH_FWDONLY supports template-free stages, not {stage!r}"
         from d3human_tpu.train.step import make_stage_loss_fn
         loss_fn = make_stage_loss_fn(stage, tex, perceptual, perc_params,
                                      cfg, None)
@@ -297,8 +301,13 @@ def build3(scale):
 def build_seq(scale: str):
     """Seq-stage bench: explicit-template per-frame refinement at full
     render scale (the reference's hot loop for 95% of its iterations —
-    train.py:1349-1421). The synthetic body is midpoint-subdivided to a
-    realistic merged-template face count (~141k faces, f3c-like)."""
+    train.py:1349-1421). The full-scale template is synthesized at the r4
+    completion run's MEASURED fused-template budget (~415k faces / ~134k
+    verts after cluster decimation — VERDICT r4 weak#4: the old 141k-face
+    stand-in flattered the seq number ~3.6x vs the real pipeline): the
+    synthetic body is midpoint-subdivided past the budget, then
+    cluster-decimated to it with the same pipeline/template.py step the
+    production merge uses."""
     from d3human_tpu.config import (
         Config, GeometryConfig, RenderConfig, StageConfig, TextureConfig,
     )
@@ -312,12 +321,18 @@ def build_seq(scale: str):
     from d3human_tpu.render import light as light_mod
     from d3human_tpu.train.step import TrainState, make_train_step
 
+    # target_faces = the completion run's fused-template face count (README
+    # r4 status / PARITY_r04 run: ~415k faces at 2.76 s/iter on chip);
+    # BENCH_SEQ_FACES overrides for scaling studies
     if scale == "full":
-        res, n_subdiv = (1080, 1080), 4          # 552 * 4^4 = 141k faces
+        res, n_subdiv = (1080, 1080), 5          # 552 * 4^5 = 565k, then cut
+        target_faces = int(os.environ.get("BENCH_SEQ_FACES", "415000"))
     elif scale == "medium":
         res, n_subdiv = (720, 720), 3
+        target_faces = None
     else:
         res, n_subdiv = (256, 256), 2
+        target_faces = None
 
     cfg = Config(
         geometry=GeometryConfig(grid_res=16, max_verts=2 ** 12,
@@ -339,6 +354,10 @@ def build_seq(scale: str):
     big = (np.full(3, -1e9), np.full(3, 1e9))
     for _ in range(n_subdiv):
         v, f = midpoint_subdivide_in_bbox(v, f, big)
+    if target_faces is not None and len(f) > target_faces:
+        from d3human_tpu.pipeline.template import cluster_decimate
+        v, f = cluster_decimate(v, f, target_faces=target_faces)
+        v, f = np.asarray(v, np.float32), np.asarray(f, np.int64)
     fverts = v[f]
     cy = fverts[:, :, 1].mean(axis=1)
     labels = ((cy > -0.1) & (cy < 0.35)).astype(np.int64)

@@ -150,7 +150,11 @@ def default_use_pallas() -> bool:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, use_pallas_bwd=True):
     """table[idx] ([..., C] gather) whose backward uses coo_scatter_add
-    instead of XLA scatter. idx any int shape; returns table[idx]."""
+    instead of XLA scatter. idx any int shape; returns table[idx].
+
+    use_pallas_bwd: False = XLA scatter backward; True = Pallas sorted-COO
+    backward; "interpret" = the Pallas backward in interpret mode (CPU test
+    coverage of the kernel that actually runs on TPU)."""
     return jnp.take(table, idx, axis=0)
 
 
@@ -163,7 +167,8 @@ def _gather_rows_bwd(use_pallas_bwd, res, g):
     flat_idx = idx.reshape(-1).astype(jnp.int32)
     flat_g = g.reshape(-1, tshape[-1])
     if use_pallas_bwd:
-        dt = coo_scatter_add(flat_idx, flat_g, tshape[0])
+        dt = coo_scatter_add(flat_idx, flat_g, tshape[0],
+                             interpret=(use_pallas_bwd == "interpret"))
     else:
         dt = jnp.zeros(tshape, flat_g.dtype).at[flat_idx].add(flat_g)
     return dt, None

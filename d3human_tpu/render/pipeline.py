@@ -288,14 +288,17 @@ def render_mesh_compact(
     if aa_dense:
         # stability-A/B instrumentation (config.render.aa_dense): every
         # neighbor pair through the dense _aa_weights math — no candidate
-        # filter, no capacity. Counts reported = active-pair candidates so
-        # cap_aa stays meaningful in logs (capacity := full pair grid).
+        # filter, no capacity. Counts reported = per-axis active-pair
+        # candidates; capacity := the per-axis full pair grid (H*(W-1)),
+        # so the logged cap_aa is a true occupancy of what dense mode
+        # processes — NOT comparable to sparse-mode cap_aa (candidates vs
+        # the compaction capacity); the aa_dense stat below tags the mode.
         from d3human_tpu.ops.rasterizer import aa_pair_candidates
 
         aa_out = apply_aa(aa_in, aa_weights(v_clip, faces, rast, resolution))
         aa_counts = [jnp.sum(aa_pair_candidates(rast, ax, aa_z_thresh))
                      for ax in (1, 0)]
-        aa_max_pairs = npix
+        aa_max_pairs = H * (W - 1)
     else:
         pairs = []
         aa_counts = []
@@ -327,6 +330,9 @@ def render_mesh_compact(
         "n_cov": jnp.sum(cover), "cov_capacity": P,
         "aa_pairs_x": aa_counts[0], "aa_pairs_y": aa_counts[1],
         "aa_capacity": aa_max_pairs,
+        # mode tag: 1.0 = dense every-pair AA (cap_aa semantics differ from
+        # the sparse compacted-pair path — see the aa_dense branch above)
+        "aa_dense": jnp.float32(1.0 if aa_dense else 0.0),
     }
     return MeshBuffers(
         shaded=shaded,

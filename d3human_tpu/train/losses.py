@@ -130,6 +130,10 @@ def capacity_metrics(buffers: MeshBuffers, meshes=None) -> dict:
         out["cap_cov"] = st["n_cov"] / st["cov_capacity"]
         out["cap_aa"] = (jnp.maximum(st["aa_pairs_x"], st["aa_pairs_y"])
                          / st["aa_capacity"])
+        if "aa_dense" in st:
+            # 1.0 tags dense-AA runs: their cap_aa is occupancy of the FULL
+            # per-axis pair grid, not of the sparse compaction capacity
+            out["aa_dense"] = st["aa_dense"]
     if buffers.rast.n_max_tile is not None:
         out["n_max_tile"] = buffers.rast.n_max_tile
         out["n_big_faces"] = buffers.rast.n_big

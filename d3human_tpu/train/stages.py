@@ -407,5 +407,12 @@ def run_seq_stage(
                   + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()),
                   flush=True)
         save_state(os.path.join(ckp_dir, f"state_frame{frame}.npz"), state)
+        # resume only ever reads the LATEST frame checkpoint; prune older
+        # ones once the new one is durably written (full-scale states are
+        # ~100s of MB each — 20 frames would grow disk linearly for nothing)
+        for old in range(frame - 1):
+            op = os.path.join(ckp_dir, f"state_frame{old}.npz")
+            if os.path.exists(op):
+                os.remove(op)
     logger.close()
     return state

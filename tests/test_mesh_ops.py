@@ -131,3 +131,27 @@ def test_face_normals_gradient_matches_plain_indexing():
     g_ref = jax.grad(loss_ref)(v)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_gather_rows_pallas_backward_interpret_matches_xla():
+    """The TPU production backward of gather_rows is the Pallas sorted-COO
+    scatter (use_pallas_bwd=True); the CPU suite otherwise only exercises
+    the XLA fallback (ADVICE r4). 'interpret' runs the actual Pallas kernel
+    in interpret mode so its gradient is covered on CPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from d3human_tpu.ops.scatter import gather_rows
+
+    key = jax.random.PRNGKey(3)
+    table = jax.random.normal(key, (67, 5))
+    # duplicate + out-of-order indices exercise accumulation ordering
+    idx = jax.random.randint(jax.random.fold_in(key, 1), (31, 3), 0, 67)
+
+    def loss(t, mode):
+        return jnp.sum(jnp.cos(gather_rows(t, idx, mode)) * 0.5)
+
+    g_xla = jax.grad(lambda t: loss(t, False))(table)
+    g_pallas = jax.grad(lambda t: loss(t, "interpret"))(table)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_xla),
+                               rtol=1e-6, atol=1e-6)

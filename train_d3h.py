@@ -266,31 +266,39 @@ def main():
     def precompile_async(stage):
         """AOT-compile the NEXT stage's jitted step in a daemon thread while
         the current stage trains (VERDICT r3 weak#7: the ~510 s full-scale
-        step compile was half the wall-clock of a short stage). The
-        compile populates the persistent cache (utils/jax_setup.py), so the
-        stage's real first call deserializes in seconds. Shape-only
-        (jax.eval_shape / .lower on ShapeDtypeStructs) — no device memory,
-        no TPU execution, purely host-CPU XLA work overlapping the training
-        RPC waits. Opt-in via D3H_PRECOMPILE=0 to disable."""
+        step compile was half the wall-clock of a short stage). The compile
+        populates the persistent cache (utils/jax_setup.py), so the stage's
+        real first call deserializes in seconds.
+
+        Tracing is shape-only (.lower on abstract avals — no device
+        buffers), but .compile() for a TPU target IS device-side work on
+        axon: it rides the same remote-compile channel the trainer uses, so
+        it can add latency to the training loop's own compiles mid-stage
+        (acceptable: stages compile once, then run thousands of iterations).
+        The target's avals are captured HERE on the caller's thread —
+        get_target(0) executes device compute (synthetic GT render), which
+        must not race the training loop from a daemon thread. Opt out via
+        D3H_PRECOMPILE=0."""
         if os.environ.get("D3H_PRECOMPILE", "1") != "1":
             return
         import threading
+
+        # eval_shape preserves weak_type so the abstract avals match the
+        # real call's exactly (a mismatch would compile a never-reused
+        # variant)
+        abstract = lambda tree: jax.eval_shape(lambda x: x, tree)
+        tgt_ab = abstract(get_target(0))       # device work: main thread
 
         def run():
             try:
                 t0 = __import__("time").time()
                 tx, step_fn = make_train_step(stage, model, tex, perceptual,
                                               perc_params, cfg)
-                # eval_shape preserves weak_type so the abstract avals match
-                # the real call's exactly (a mismatch would compile a
-                # never-reused variant)
-                abstract = lambda tree: jax.eval_shape(lambda x: x, tree)
                 p_ab = abstract(params)
                 st_ab = TrainState(
                     params=p_ab,
                     opt_state=jax.eval_shape(tx.init, p_ab),
                     step=jax.ShapeDtypeStruct((), jnp.int32))
-                tgt_ab = abstract(get_target(0))
                 key_ab = abstract(jax.random.PRNGKey(0))
                 step_fn.jitted.lower(
                     st_ab, tgt_ab, key_ab,
