@@ -147,7 +147,15 @@ def build(scale: str):
     # taps are part of the ~225 ms key-dependent render work; higher
     # subsample = fewer taps).
     jit_sub = int(os.environ.get("BENCH_JITTER", "0") or "0")
-    render_kw = dict(train_res=res, texture_res=res, init_shading=shading)
+    # BENCH_COV overrides render.max_covered_frac (the compacted-pixel
+    # capacity). Default = the shipping full-scale configuration's 0.25
+    # (configs/f3c_synth_full4.json; production coverage peaks ~0.12 of the
+    # frame = 0.48 of this capacity — compaction is EXACT below capacity,
+    # so this is value-identical to the library default 0.5 at half the
+    # per-pixel rows; cap_cov overflow is asserted after the run).
+    cov = float(os.environ.get("BENCH_COV", "0.25"))
+    render_kw = dict(train_res=res, texture_res=res, init_shading=shading,
+                     max_covered_frac=cov)
     if jit_sub:
         render_kw["jitter_subsample"] = jit_sub
     # Ablation knobs for step-cost attribution (each removes ONE loss-path
@@ -487,6 +495,13 @@ def main():
             if crop_active and stage != "seq":
                 sh += (f"; grid_crop={crop_active} "
                        f"(body-tight lattice, extraction-identical subset)")
+            cov_used = float(max(
+                (v for k, v in jax.device_get(aux).items()
+                 if k.endswith("cap_cov")), default=0.0))
+            assert cov_used < 1.0, \
+                f"covered-pixel capacity overflow (cap_cov={cov_used:.2f})"
+            sh += (f"; max_covered_frac={extras['cfg'].render.max_covered_frac}"
+                   f" (exact: peak occupancy {cov_used:.2f})")
             print(json.dumps({
                 "metric": f"{stage}-stage train iters/sec ({attempt} scale: "
                           f"grid^3 + raster res per config{sh})",

@@ -168,6 +168,27 @@ NUM_QUAD_CUT = np.asarray(
     [0, 1, 1, 2, 1, 4, 2, 3, 1, 2, 4, 3, 2, 3, 3, 2], np.int32)
 
 
+def _cut_ref_tables(table, counts, n_corners):
+    """Which corner / boundary slots each cut case actually references —
+    lets vert_valid come from table lookups instead of scattering all 3*4*MT
+    face-vertex ids (the XLA boolean scatter costs ~90 ns/row; at f3c scale
+    that was ~200 ms inside every extraction)."""
+    corner = np.zeros((len(table), 4), bool)
+    bnd = np.zeros((len(table), 4), bool)
+    for c, row in enumerate(table):
+        for e in row[: 3 * counts[c]]:
+            if e < n_corners:
+                corner[c, e] = True
+            else:
+                bnd[c, e - n_corners] = True
+    return corner, bnd
+
+
+TRI_CORNER_REF, TRI_BND_REF = _cut_ref_tables(TRI_CUT_TABLE, NUM_TRI_CUT, 3)
+QUAD_CORNER_REF, QUAD_BND_REF = _cut_ref_tables(QUAD_CUT_TABLE,
+                                                NUM_QUAD_CUT, 4)
+
+
 class GShellMesh(NamedTuple):
     """Fixed-capacity extracted mesh. Verts layout: [0, MV) watertight
     (SDF-crossing) vertices, [MV, MV+4*MT) per-tet boundary vertices."""
@@ -394,12 +415,31 @@ def _gshell_level2(lv1: dict, msdf_sign: float) -> Tuple[GShellMesh, jnp.ndarray
     verts_aug_raw = lv1["verts_aug_raw"]
     msdf_aug = jnp.concatenate([msdf_wt_stop, msdf_b.reshape(MT * 4)], axis=0)
 
-    # mark referenced vertices (ref zeroes unused ones; we track a mask)
-    vert_valid = jnp.zeros((MV + MT * 4,), bool)
-    ref_ids = jnp.where(face_valid[:, None], faces_aug, MV + MT * 4 - 1)
-    vert_valid = vert_valid.at[ref_ids.reshape(-1)].set(True)
-    vert_valid = vert_valid & jnp.concatenate(
-        [lv1["vert_ok"], jnp.ones((MT * 4,), bool)])
+    # mark referenced vertices (ref zeroes unused ones; we track a mask).
+    # Boundary slots come straight from the cut-case reference tables; only
+    # the corner marks (watertight verts, shared across tets) need a
+    # scatter — [MT, 4] rows via sorted-COO on TPU instead of the
+    # [4*MT, 3]-row XLA boolean scatter over the whole aug vertex table.
+    alive = tet_ok & (ntri > 0) & (n_cut > 0)
+    corner_ref = jnp.where(
+        is_quad[:, None],
+        jnp.asarray(QUAD_CORNER_REF)[mi_quad],
+        jnp.asarray(TRI_CORNER_REF)[mi_tri]) & alive[:, None]   # [MT, 4]
+    bnd_ref = jnp.where(
+        is_quad[:, None],
+        jnp.asarray(QUAD_BND_REF)[mi_quad],
+        jnp.asarray(TRI_BND_REF)[mi_tri]) & alive[:, None]      # [MT, 4]
+    corner_ids = jnp.where(corner_ref, cyc, MV).reshape(-1)
+    from d3human_tpu.ops.scatter import coo_scatter_add, default_use_pallas
+    if default_use_pallas():
+        cnt = coo_scatter_add(
+            corner_ids, jnp.ones((corner_ids.shape[0], 1), jnp.float32),
+            MV + 1)
+        wt_mark = cnt[:MV, 0] > 0
+    else:
+        wt_mark = jnp.zeros((MV + 1,), bool).at[corner_ids].set(True)[:MV]
+    vert_valid = jnp.concatenate(
+        [wt_mark & lv1["vert_ok"], bnd_ref.reshape(-1)])
     verts_aug = jnp.where(vert_valid[:, None], verts_aug_raw, 0.0)
 
     mesh = GShellMesh(

@@ -64,7 +64,13 @@ class MeshBuffers(NamedTuple):
 
 
 def _bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """img [H, W, C], uv [..., 2] in [0,1] -> [..., C] (clamp boundary)."""
+    """img [H, W, C], uv [..., 2] in [0,1] -> [..., C] (clamp boundary).
+
+    The 4 corner taps run as ONE fused row-gather on the flattened image
+    (gather_rows), so the backward is a single Pallas sorted-COO scatter on
+    TPU instead of 4 XLA image scatters (~90 ns/row each,
+    scripts/profile_bwd.py) — the jitter-tap transpose was one of the
+    remaining un-routed scatters in the train step."""
     H, W = img.shape[:2]
     x = uv[..., 0] * W - 0.5
     y = uv[..., 1] * H - 0.5
@@ -75,10 +81,15 @@ def _bilinear_sample(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     x1 = jnp.clip(x0 + 1, 0, W - 1)
     y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
     y1 = jnp.clip(y0 + 1, 0, H - 1)
-    return (img[y0, x0] * ((1 - fx) * (1 - fy))[..., None]
-            + img[y0, x1] * (fx * (1 - fy))[..., None]
-            + img[y1, x0] * ((1 - fx) * fy)[..., None]
-            + img[y1, x1] * (fx * fy)[..., None])
+    from d3human_tpu.ops.scatter import default_use_pallas, gather_rows
+
+    flat = img.reshape(H * W, -1)
+    rows = jnp.stack([y0 * W + x0, y0 * W + x1,
+                      y1 * W + x0, y1 * W + x1])           # [4, ...]
+    wts = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
+                     (1 - fx) * fy, fx * fy])              # [4, ...]
+    g = gather_rows(flat, rows, default_use_pallas())      # [4, ..., C]
+    return jnp.sum(g * wts[..., None], axis=0)
 
 
 def render_mesh(
@@ -270,11 +281,12 @@ def render_mesh_compact(
     alpha = cover[..., None].astype(jnp.float32)
 
     # ---- normal-smoothness jitter tap (ref render.py:68-72,102-103) ------
+    # normal + alpha taps share one fused 4-channel bilinear gather
     uv = pix_xy[sub] / jnp.asarray([W, H], jnp.float32)
     jit_uv = uv + 0.005 * jax.random.normal(k_nrm, uv.shape)
-    nrm_img = img[..., 7:10]
-    nrm_tap = _bilinear_sample(nrm_img, jit_uv)
-    mask_tap = _bilinear_sample(alpha, jit_uv)
+    na_img = jnp.concatenate([img[..., 7:10], alpha], axis=-1)
+    na_tap = _bilinear_sample(na_img, jit_uv)
+    nrm_tap, mask_tap = na_tap[..., :3], na_tap[..., 3:]
     nrm_grad_pix = (jnp.abs(nrm_tap - nrm_s[sub])
                     * mask_tap * vmask[sub])
 
@@ -330,9 +342,9 @@ def render_mesh_compact(
         "n_cov": jnp.sum(cover), "cov_capacity": P,
         "aa_pairs_x": aa_counts[0], "aa_pairs_y": aa_counts[1],
         "aa_capacity": aa_max_pairs,
-        # mode tag: 1.0 = dense every-pair AA (cap_aa semantics differ from
+        # static mode tag: dense every-pair AA (cap_aa semantics differ from
         # the sparse compacted-pair path — see the aa_dense branch above)
-        "aa_dense": jnp.float32(1.0 if aa_dense else 0.0),
+        "aa_dense": 1.0 if aa_dense else 0.0,
     }
     return MeshBuffers(
         shaded=shaded,

@@ -130,10 +130,10 @@ def capacity_metrics(buffers: MeshBuffers, meshes=None) -> dict:
         out["cap_cov"] = st["n_cov"] / st["cov_capacity"]
         out["cap_aa"] = (jnp.maximum(st["aa_pairs_x"], st["aa_pairs_y"])
                          / st["aa_capacity"])
-        if "aa_dense" in st:
-            # 1.0 tags dense-AA runs: their cap_aa is occupancy of the FULL
+        if st.get("aa_dense"):
+            # tags dense-AA runs: their cap_aa is occupancy of the FULL
             # per-axis pair grid, not of the sparse compaction capacity
-            out["aa_dense"] = st["aa_dense"]
+            out["aa_dense"] = jnp.float32(st["aa_dense"])
     if buffers.rast.n_max_tile is not None:
         out["n_max_tile"] = buffers.rast.n_max_tile
         out["n_big_faces"] = buffers.rast.n_big
@@ -256,15 +256,26 @@ def tick_split_one(key, model: GeometryModel, params, pose_params,
                 jnp.clip(msdf_aug, -eps, None), -eps)
         if close_s != 0:
             # visible boundary verts (ref :1013-1026): faces seen by the
-            # rasterizer -> their boundary-block vertices
+            # rasterizer -> their boundary-block vertices. Sorted-COO count
+            # on TPU (the 3F-row XLA boolean scatter costs ~90 ns/row —
+            # ~200 ms/half at split scale, scripts/profile_bwd.py).
             MV = meshes.mesh.n_verts_watertight
             vis_faces = buffers.visible_faces
-            vert_seen = jnp.zeros((meshes.mesh.verts.shape[0] + 1,), bool)
+            nv = meshes.mesh.verts.shape[0]
             safe_faces = jnp.where(
                 (vis_faces & meshes.mesh.face_valid)[:, None],
-                meshes.mesh.faces, meshes.mesh.verts.shape[0])
-            vert_seen = vert_seen.at[safe_faces.reshape(-1)].set(True)
-            bnd_seen = vert_seen[MV:-1]
+                meshes.mesh.faces, nv)
+            from d3human_tpu.ops.scatter import (
+                coo_scatter_add, default_use_pallas,
+            )
+            ids = safe_faces.reshape(-1)
+            if default_use_pallas():
+                cnt = coo_scatter_add(
+                    ids, jnp.ones((ids.shape[0], 1), jnp.float32), nv + 1)
+                bnd_seen = cnt[MV:-1, 0] > 0
+            else:
+                vert_seen = jnp.zeros((nv + 1,), bool).at[ids].set(True)
+                bnd_seen = vert_seen[MV:-1]
             bnd_msdf = msdf_aug[MV:]
             mesh_msdf_reg = mesh_msdf_reg + close_s * regscale * _huber_sum(
                 jnp.clip(bnd_msdf, None, eps), eps, mask=bnd_seen)

@@ -90,10 +90,25 @@ def main():
     else:
         order = lambda it: it  # noqa: E731  (frame_target applies % itself)
     g = cfg0.geometry
+    # honor the config's grid_crop so arms can run the PRODUCTION step
+    # verbatim (--config configs/f3c_synth_full4.json; VERDICT r4 next#6 —
+    # previously only the dedicated 'crop' arm built a cropped lattice,
+    # so full4-config A/Bs silently ran the uncropped grid)
+    cfg_crop_box = None
+    if g.grid_crop > 0:
+        cb0 = np.asarray(scene.canon.vs_template)[0]
+        cfg_crop_box = (tuple(cb0.min(0) - g.grid_crop),
+                        tuple(cb0.max(0) + g.grid_crop))
     grid = make_tet_grid(
         res=g.grid_res, bounds=((-0.5, -0.5, -0.5), (0.5, 0.5, 0.5)),
         y_offset=g.grid_y_offset, scale=g.grid_scale,
-        cache_path=args.grid_cache)
+        crop_box=cfg_crop_box,
+        cache_path=(args.grid_cache if cfg_crop_box is None else
+                    (args.grid_cache or "").replace(
+                        ".npz", f"_crop{g.grid_crop:g}.npz") or None))
+    if cfg_crop_box is not None:
+        print(f"[setup] grid crop {grid.dims} of {g.grid_res}^3 "
+              f"({grid.n_tets} tets)", flush=True)
     model = GeometryModel(cfg0, grid, scene.deformer, scene.canon)
 
     key = jax.random.PRNGKey(cfg0.seed)
@@ -105,7 +120,7 @@ def main():
     from d3human_tpu.train.checkpoint import (
         cached_sdf_pretrain, load_params, pretrain_cache_paths, save_params,
     )
-    pcache, ncache = pretrain_cache_paths(cfg0)
+    pcache, ncache = pretrain_cache_paths(cfg0, crop_box=cfg_crop_box)
     gparams, ploss = cached_sdf_pretrain(
         model, gparams, cfg0.stages.sdf_mlp_pretrain_steps, pcache)
     if os.path.exists(ncache):

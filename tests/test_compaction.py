@@ -22,3 +22,21 @@ def test_matches_nonzero(n, k, p, blk):
     ref = jnp.nonzero(m, size=k, fill_value=n)[0]
     got = first_k_indices(m, k, n, block=blk)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+@pytest.mark.parametrize("n,k,p", [
+    (100000, 512, 0.01),         # sparse
+    (100000, 4096, 0.9),         # dense: more set bits than capacity
+    (50000, 50000, 1.0),         # every bit set, k == n
+    (90000, 100, 0.0),           # nothing set -> all fill
+    (8193, 640, 0.3),            # n not a multiple of chunk, k not of blk
+])
+def test_pallas_path_matches_nonzero(n, k, p):
+    """_first_k_pallas (the TPU production path) in interpret mode vs the
+    jnp.nonzero oracle — the sorted-COO position scatter must reproduce
+    ascending-index + fill semantics bit-exactly."""
+    rng = np.random.default_rng(n * 7 + k)
+    m = jnp.asarray(rng.random(n) < p)
+    ref = jnp.nonzero(m, size=k, fill_value=n)[0]
+    got = first_k_indices(m, k, n, use_pallas="interpret")
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

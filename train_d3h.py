@@ -414,6 +414,28 @@ def main():
 
     if "seq" in stages:
         template = build_seq_template(process_dir)
+        if args.synthetic:
+            # merge-pipeline error floor (r5 seq-quality diagnostic): the
+            # chamfer of the UNOPTIMIZED fused template posed to frame 0 vs
+            # the GT surface isolates what close-hole/msdf-cut/decimate/
+            # fusion cost BEFORE any seq iteration — if this is already at
+            # the seq stage's final chamfer, the gap is the merge, not the
+            # per-frame optimization budget
+            from d3human_tpu.utils.metrics import mesh_chamfer as _mc
+            t0 = get_frame(0)
+            posed0 = jax.jit(model.pose_verts)(
+                template.v, params["pose"], t0["frame_idx"])
+            gt_v0, gt_f0 = _synth_gt_mesh(scene, 0, gt_pose)
+            ch_t = _mc(np.asarray(posed0), np.asarray(template.f),
+                       gt_v0, gt_f0)
+            parity["stages"]["seq_template_frame0"] = {
+                "chamfer_unoptimized_template": round(float(ch_t), 6),
+                "n_faces": int(template.f.shape[0]),
+                "n_verts": int(template.v.shape[0])}
+            with open(os.path.join(cfg.out_dir, "PARITY.json"), "w") as fh:
+                _json.dump(parity, fh, indent=1)
+            print(f"[parity] seq template frame0 chamfer={ch_t:.6f} "
+                  f"({template.f.shape[0]} faces)", flush=True)
         if cfg.stages.seq_static_skin_weights:
             # one-time KNN weight transfer at the rest template (perf lever;
             # default OFF = reference per-iteration re-interpolation)
