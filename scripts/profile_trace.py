@@ -71,25 +71,33 @@ def aggregate(events, iters: int, top: int = 45):
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pnames[e["pid"]] = e.get("args", {}).get("name", "")
-    per_op = collections.Counter()
-    per_op_n = collections.Counter()
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X":
-            continue
-        pname = pnames.get(e.get("pid"), "")
-        if "TPU" not in pname and "tpu" not in pname.lower():
-            continue
-        # skip the per-module umbrella rows (XLA Modules lane duplicates
-        # the sum of its ops)
-        tid_name = e.get("args", {}).get("group_id")
-        name = e.get("name", "?")
-        if name.startswith("jit_") or "XLA Modules" in pname:
-            continue
-        dur = float(e.get("dur", 0.0))
-        per_op[name] += dur
-        per_op_n[name] += 1
-        total += dur
+    def collect(device_only: bool):
+        per_op = collections.Counter()
+        per_op_n = collections.Counter()
+        total = 0.0
+        for e in events:
+            if e.get("ph") != "X":
+                continue
+            pname = pnames.get(e.get("pid"), "")
+            if device_only and ("TPU" not in pname
+                                and "tpu" not in pname.lower()):
+                continue
+            # skip per-module umbrella rows (duplicate the sum of their ops)
+            name = e.get("name", "?")
+            if name.startswith("jit_") or "XLA Modules" in pname:
+                continue
+            dur = float(e.get("dur", 0.0))
+            per_op[name] += dur
+            per_op_n[name] += 1
+            total += dur
+        return per_op, per_op_n, total
+
+    per_op, per_op_n, total = collect(True)
+    if not per_op:
+        # axon/remote backends may label device lanes differently — fall
+        # back to every lane (host rows are obvious by name)
+        print("(no TPU-labeled lane; aggregating ALL lanes)")
+        per_op, per_op_n, total = collect(False)
     rows = per_op.most_common(top)
     print(f"\n== device op totals over {iters} iters "
           f"(us summed; /iters for per-step) ==")
