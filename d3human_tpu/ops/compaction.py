@@ -58,8 +58,9 @@ def _first_k_kernel(starts_ref, csum_ref, mask_ref, out_ref, csum_s, mask_s,
         hit = ((local == jax.lax.broadcasted_iota(
             jnp.int32, (chunk, blk), 1))
             & (mask_s[:].reshape(chunk, 1) > 0)).astype(jnp.float32)
-        pos = (jnp.float32(base) + jax.lax.broadcasted_iota(
-            jnp.float32, (8, chunk), 1))
+        # tpu.iota is integer-only on Mosaic; build int32 then cast
+        pos = (base + jax.lax.broadcasted_iota(
+            jnp.int32, (8, chunk), 1)).astype(jnp.float32)
         # each slot receives exactly ONE nonzero product (its set row's
         # position); HIGHEST keeps f32-exact products (bf16 passes would
         # round positions past 2^8)
