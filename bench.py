@@ -174,9 +174,16 @@ def build(scale: str):
         loss_kw["use_eikonal"] = False
     if os.environ.get("BENCH_NO_MSDFREG", "0") == "1":
         loss_kw["use_mesh_msdf_reg"] = False
+    # BENCH_SDF_CHUNK overrides geometry.sdf_chunk (0 = unchunked full-grid
+    # MLP eval: removes the serialized remat while-loops — TRACE_r05 prices
+    # them at ~68 ms/step fwd+bwd — at the cost of full activation memory)
+    geo_kw = {}
+    if os.environ.get("BENCH_SDF_CHUNK", "") != "":
+        geo_kw["sdf_chunk"] = int(os.environ["BENCH_SDF_CHUNK"])
     cfg = Config(
         field=FieldConfig(use_bfloat16=bf16),
-        geometry=GeometryConfig(grid_res=grid_res, max_verts=mv, max_tets=mt),
+        geometry=GeometryConfig(grid_res=grid_res, max_verts=mv, max_tets=mt,
+                                **geo_kw),
         render=RenderConfig(**render_kw),
         loss=LossConfig(**loss_kw),
         stages=StageConfig(init_epoch=2001),

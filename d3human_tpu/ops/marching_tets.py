@@ -222,6 +222,19 @@ def _stable_denom(d: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return s * (jnp.abs(d) + eps)
 
 
+def _select_cols(rows: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis(rows [N, K], idx [N, L], axis=1) as a branchless
+    K-way select. XLA lowers per-row take_along_axis to a full gather
+    (~7.5 ns/row on TPU — the marching-tets table lookups cost ~35 ms/step
+    at f3c scale, TRACE_r05 fusion.97/98/99); for the tiny K (<= 8) here a
+    sum of masked columns is pure VPU work."""
+    N, K = rows.shape
+    out = jnp.zeros(idx.shape, rows.dtype)
+    for k in range(K):
+        out = out + jnp.where(idx == k, rows[:, k][:, None], 0)
+    return out
+
+
 def _gshell_level1(
     grid: TetGrid,
     pos: jnp.ndarray,        # [N, 3] deformed grid vertex positions
@@ -302,7 +315,7 @@ def _gshell_level1(
     tri_tab = jnp.asarray(TRIANGLE_TABLE)
     ntri = jnp.asarray(NUM_TRIANGLES_TABLE)[tcase]                 # [MT]
     sel = jnp.clip(tri_tab[tcase], 0, 5)                           # [MT, 6]
-    faces_wt = jnp.take_along_axis(idx_map, sel, axis=1)           # [MT, 6]
+    faces_wt = _select_cols(idx_map, sel)                          # [MT, 6]
     faces_wt = faces_wt.reshape(MT * 2, 3)
     face_wt_valid = (
         jnp.stack([ntri >= 1, ntri >= 2], axis=1).reshape(-1) & \
@@ -313,7 +326,7 @@ def _gshell_level1(
     # ---- level 2: mSDF cut ------------------------------------------------
     # polygon cycle (4 slots; triangles repeat the first as the 4th)
     cyc_sel = jnp.clip(jnp.asarray(MESH_EDGE_TABLE)[tcase], 0, 5)  # [MT, 4]
-    cyc = jnp.take_along_axis(idx_map, cyc_sel, axis=1)            # [MT, 4]
+    cyc = _select_cols(idx_map, cyc_sel)                           # [MT, 4]
 
     # fused [verts | m_grad | m_stop] row gather over the polygon cycle
     vm = jnp.concatenate(
@@ -401,10 +414,10 @@ def _gshell_level2(lv1: dict, msdf_sign: float) -> Tuple[GShellMesh, jnp.ndarray
 
     tri_cut = jnp.clip(jnp.asarray(TRI_CUT_TABLE)[mi_tri], 0, 5)    # [MT, 6]
     quad_cut = jnp.clip(jnp.asarray(QUAD_CUT_TABLE)[mi_quad], 0, 7)  # [MT,12]
-    faces_tri = jnp.take_along_axis(glob_tri, tri_cut, axis=1)      # [MT, 6]
+    faces_tri = _select_cols(glob_tri, tri_cut)                      # [MT, 6]
     faces_tri = jnp.concatenate(
         [faces_tri, jnp.zeros((MT, 6), jnp.int32)], axis=1)          # [MT, 12]
-    faces_quad = jnp.take_along_axis(glob_quad, quad_cut, axis=1)    # [MT, 12]
+    faces_quad = _select_cols(glob_quad, quad_cut)                    # [MT, 12]
     faces_aug = jnp.where(is_quad[:, None], faces_quad, faces_tri)
     faces_aug = faces_aug.reshape(MT * 4, 3)
     face_id_in_tet = jnp.tile(jnp.arange(4, dtype=jnp.int32), (MT,))

@@ -37,13 +37,18 @@ def face_normals(verts: jnp.ndarray, faces: jnp.ndarray,
 
 
 def auto_normals(verts: jnp.ndarray, faces: jnp.ndarray,
-                 face_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 face_valid: Optional[jnp.ndarray] = None,
+                 fn_raw: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Area-weighted vertex normals via scatter-add
     (ref gshell_tets.py:9-34 / mesh.auto_normals). Degenerate normals fall
-    back to +z like the reference."""
+    back to +z like the reference. ``fn_raw`` passes precomputed
+    UNNORMALIZED face normals so callers that also need them (the render
+    hot path) pay the 3F-row corner gather once (TRACE_r05: each such
+    gather is ~12 ms/step at f3c scale)."""
     from d3human_tpu.ops.scatter import default_use_pallas, segment_add_rows
 
-    fn = face_normals(verts, faces, normalize=False)
+    fn = face_normals(verts, faces, normalize=False) if fn_raw is None \
+        else fn_raw
     if face_valid is not None:
         fn = jnp.where(face_valid[:, None], fn, 0.0)
     # ONE fused sorted-COO scatter for all 3 corners (3 XLA scatters of F
@@ -146,11 +151,14 @@ def sample_points_on_mesh(
     faces: jnp.ndarray,
     n_samples: int,
     face_valid: Optional[jnp.ndarray] = None,
+    fn_raw: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Area-weighted surface sampling (kaolin sample_points replacement,
     used for eikonal points at ref hmsdf.py:714): categorical over face areas
-    then uniform barycentric."""
-    fn = face_normals(verts, faces, normalize=False)
+    then uniform barycentric. ``fn_raw`` = precomputed unnormalized face
+    normals (|fn|/2 = area) to share the corner gather with the render."""
+    fn = face_normals(verts, faces, normalize=False) if fn_raw is None \
+        else fn_raw
     area = 0.5 * jnp.sqrt(jnp.maximum(jnp.sum(fn * fn, axis=-1), 1e-20))
     if face_valid is not None:
         area = jnp.where(face_valid, area, 0.0)

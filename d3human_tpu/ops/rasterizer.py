@@ -249,9 +249,13 @@ def rasterize(
                   0.0, float((1 << 20) - 1)).astype(jnp.int32)
     key = ((pair_tile << 20)
            | jnp.broadcast_to(zq[:, None], (F, K))).reshape(-1)
-    order = jnp.argsort(key, stable=True)   # deterministic tie order
-    s_tile = jnp.take(key, order) >> 20
-    s_face = jnp.take(pair_face.reshape(-1), order)
+    # multi-operand sort carries the face ids THROUGH the sort — the
+    # argsort-then-take formulation paid two F*K-row gathers after the sort
+    # (2 x ~45 ms at f3c scale, TRACE_r05: fusion.86/87), the sort itself
+    # only ~10 ms
+    s_key, s_face = jax.lax.sort(
+        (key, pair_face.reshape(-1)), num_keys=1, is_stable=True)
+    s_tile = s_key >> 20
 
     starts = jnp.searchsorted(s_tile, jnp.arange(NT + 1, dtype=jnp.int32))
     MFPT = max_faces_per_tile

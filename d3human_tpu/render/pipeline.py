@@ -221,8 +221,13 @@ def render_mesh_compact(
     pix_xy = pixel_centers_at(ic, resolution)
     vmask = valid[:, None].astype(jnp.float32)
 
+    # ONE corner gather serves face normals, vertex normals, and (via
+    # stats) the eikonal sampler's face areas — each extra 3F-row gather
+    # costs ~12 ms/step at f3c scale (TRACE_r05)
+    fn_raw = mesh_ops.face_normals(verts, faces, normalize=False)
     if v_nrm is None:
-        v_nrm = mesh_ops.auto_normals(verts, faces, face_valid)
+        v_nrm = mesh_ops.auto_normals(verts, faces, face_valid,
+                                      fn_raw=fn_raw)
     msdf_v = (msdf_attr[:, None] if msdf_attr is not None
               else jnp.zeros((verts.shape[0], 1)))
 
@@ -241,7 +246,7 @@ def render_mesh_compact(
     msdf_pix = interp[:, 9:10] * vmask
 
     # ---- face-attr gather ----------------------------------------------
-    fn = mesh_ops.face_normals(verts, faces)
+    fn = mesh_ops.safe_normalize(fn_raw)
     flab = (face_labels.astype(jnp.float32)[:, None]
             if face_labels is not None else jnp.zeros((faces.shape[0], 1)))
     fattr = gather_rows(jnp.concatenate([fn, flab], axis=-1), fid,
@@ -331,6 +336,7 @@ def render_mesh_compact(
     zeros2 = jnp.zeros((H, W, 2))
     stats = {
         "idx": idx, "valid": valid,
+        "fn_raw": fn_raw,
         "kd": kd_pix, "ks": ks_pix,
         "kd_grad": kd_grad_pix, "ks_grad": ks_grad_pix,
         "nrm_grad": nrm_grad_pix,

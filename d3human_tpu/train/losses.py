@@ -176,9 +176,11 @@ def tick_init(key, model: GeometryModel, params, pose_params,
     img_loss = img_loss + msdf_image_hinges(buffers, gt_mask)
 
     # eikonal on points sampled from the posed surface (ref hmsdf.py:714,856)
+    # — face areas reuse the render's corner gather (stats.fn_raw)
     pts = mesh_ops.sample_points_on_mesh(
         k_sample, meshes.verts_posed, meshes.mesh.faces,
-        cfg.geometry.n_eikonal_samples, meshes.mesh.face_valid)
+        cfg.geometry.n_eikonal_samples, meshes.mesh.face_valid,
+        fn_raw=(buffers.stats or {}).get("fn_raw"))
     eik = eikonal_loss(model, params, pts, it, cfg) if cfg.loss.use_eikonal \
         else jnp.asarray(0.0)
 
@@ -226,7 +228,8 @@ def tick_split_one(key, model: GeometryModel, params, pose_params,
 
     pts = mesh_ops.sample_points_on_mesh(
         k_sample, meshes.verts_posed, meshes.mesh.faces,
-        cfg.geometry.n_eikonal_samples, meshes.mesh.face_valid)
+        cfg.geometry.n_eikonal_samples, meshes.mesh.face_valid,
+        fn_raw=(buffers.stats or {}).get("fn_raw"))
     eik = eikonal_loss(model, params, pts, it, cfg) if cfg.loss.use_eikonal \
         else jnp.asarray(0.0)
 
