@@ -124,10 +124,18 @@ def render_mesh(
     shade: bool = True,
     layers: int = 1,
     aa_dense: bool = False,
+    need_smoothness: bool = True,
 ) -> MeshBuffers:
     """Dispatch: the compacted training path (default where it applies) or
     the full-image reference path (validation / spp>1 / pbr / oracle /
     layers>1 depth peeling).
+
+    ``need_smoothness=False`` (init stage) additionally drops the smooth-
+    normal interpolation + jittered normal tap + their channels from the
+    fused scatter: the only consumer is the material-smoothness regularizer,
+    which the init total never includes (ref train.py:718) — but the fused
+    multi-channel image scatter otherwise keeps the whole subtree alive
+    against DCE (~60 ms/step at f3c scale, TRACE_r05_init2).
 
     ``shade=False`` skips every texture/material lookup and returns zero
     kd/ks/color channels (alpha, normals, msdf unchanged). The init stage's
@@ -146,7 +154,7 @@ def render_mesh(
             raster_opts=raster_opts, max_covered_frac=max_covered_frac,
             aa_max_pairs=aa_max_pairs, aa_z_thresh=aa_z_thresh,
             jitter_subsample=jitter_subsample, shade=shade,
-            aa_dense=aa_dense)
+            aa_dense=aa_dense, need_smoothness=need_smoothness)
     return render_mesh_full(
         key, verts, verts_original, faces, face_valid, mvp, campos,
         resolution, tex_module, tex_params, background, shade=shade,
@@ -181,6 +189,7 @@ def render_mesh_compact(
     jitter_subsample: int = 2,
     shade: bool = True,
     aa_dense: bool = False,
+    need_smoothness: bool = True,
 ) -> MeshBuffers:
     """Covered-pixel-compacted render (the TPU training hot path).
 
@@ -220,6 +229,77 @@ def render_mesh_compact(
     ic = jnp.minimum(idx, npix - 1)                 # safe index for gathers
     pix_xy = pixel_centers_at(ic, resolution)
     vmask = valid[:, None].astype(jnp.float32)
+
+    # ---- lean init-stage path (docstring of render_mesh): shading off, no
+    # face labels, and no smoothness consumers => only geometric normals +
+    # mSDF survive to the losses. Every gradient-bearing loss value is
+    # bit-identical to the full packing (locked by test_golden_losses);
+    # shaded rgb is background-only there (img term is log-only zero).
+    if not shade and face_labels is None and not need_smoothness:
+        from d3human_tpu.ops.scatter import default_use_pallas, gather_rows
+
+        fn_raw = mesh_ops.face_normals(verts, faces, normalize=False)
+        msdf_v = (msdf_attr[:, None] if msdf_attr is not None
+                  else jnp.zeros((verts.shape[0], 1)))
+        vattr = jnp.concatenate([v_clip, verts, msdf_v], axis=-1)   # [V, 8]
+        g = gather_rows(vattr, faces[fid], default_use_pallas())    # [P,3,8]
+        bary = barycentrics_compact(g[..., :4], pix_xy, resolution)
+        interp = jnp.einsum("pk,pkc->pc", bary, g[..., 4:])
+        pos = interp[:, 0:3] * vmask
+        msdf_pix = interp[:, 3:4] * vmask
+        fattr = gather_rows(fn_raw, fid, default_use_pallas())      # [P, 3]
+        geo_n = mesh_ops.safe_normalize(fattr) * vmask
+
+        packed = jnp.concatenate([geo_n, msdf_pix], axis=-1)        # 4 ch
+        img = scatter_image(packed, idx, resolution)
+        cover = rast.tri_id > 0
+        alpha = cover[..., None].astype(jnp.float32)
+
+        if aa_max_pairs is None:
+            aa_max_pairs = 16 * max(H, W)
+        aa_in = jnp.concatenate([alpha, img], axis=-1)              # 5 ch
+        if aa_dense:
+            from d3human_tpu.ops.rasterizer import aa_pair_candidates
+            aa_out = apply_aa(aa_in,
+                              aa_weights(v_clip, faces, rast, resolution))
+            aa_counts = [jnp.sum(aa_pair_candidates(rast, ax, aa_z_thresh))
+                         for ax in (1, 0)]
+            aa_max_pairs = H * (W - 1)
+        else:
+            pairs, aa_counts = [], []
+            for axis in (1, 0):
+                pidx, pvalid, n_cand = aa_pairs_compact(
+                    rast, resolution, axis, aa_max_pairs, aa_z_thresh)
+                pairs.append(aa_geometry_compact(
+                    v_clip, faces, rast, pidx, pvalid, resolution, axis))
+                aa_counts.append(n_cand)
+            aa_out = apply_aa_sparse(aa_in, pairs)
+        aa_alpha = aa_out[..., 0:1]
+        # rgb is dead in this mode (img term log-only zero); composite the
+        # background against the AA'd alpha so the saved strips stay sane
+        shaded = jnp.concatenate([background * (1.0 - aa_alpha), aa_alpha],
+                                 axis=-1)
+        geo_b = jnp.concatenate([aa_out[..., 1:4], aa_alpha], axis=-1)
+        msdf_b = aa_out[..., 4:5]
+
+        zeros4 = jnp.zeros((H, W, 4))
+        zeros3 = jnp.zeros((H, W, 3))
+        zeros2 = jnp.zeros((H, W, 2))
+        stats = {
+            "idx": idx, "valid": valid, "fn_raw": fn_raw, "npix": npix,
+            "n_cov": jnp.sum(cover), "cov_capacity": P,
+            "aa_pairs_x": aa_counts[0], "aa_pairs_y": aa_counts[1],
+            "aa_capacity": aa_max_pairs,
+            "aa_dense": 1.0 if aa_dense else 0.0,
+        }
+        return MeshBuffers(
+            shaded=shaded, diffuse_light=zeros3, specular_light=zeros3,
+            geometric_normal=geo_b, normal=zeros4, depth=zeros2,
+            invdepth=zeros2, kd=zeros4, ks=zeros4, kd_grad=zeros4,
+            ks_grad=zeros4, normal_grad=zeros4, msdf_image=msdf_b,
+            mesh_id=jnp.zeros((H, W, 1)), alpha=alpha,
+            visible_faces=visible_face_mask(rast, faces.shape[0]),
+            rast=rast, stats=stats)
 
     # ONE corner gather serves face normals, vertex normals, and (via
     # stats) the eikonal sampler's face areas — each extra 3F-row gather

@@ -86,7 +86,7 @@ def render_stage_mesh(key, model: GeometryModel, params, pose_params,
                       tex_module, tex_params, target, cfg: Config,
                       msdf_sign: float = 1.0,
                       raster_opts=None, compact=None, shade=True,
-                      meshes=None) -> tuple:
+                      meshes=None, need_smoothness=True) -> tuple:
     """getMesh + render (ref render_init/render_split, hmsdf.py:706-773).
     Texture coordinates use the *unposed* template positions
     (ref render.py:259 interpolates mesh_original = tmp_nodeform_mesh).
@@ -116,6 +116,7 @@ def render_stage_mesh(key, model: GeometryModel, params, pose_params,
         compact=compact,
         shade=shade,
         layers=cfg.render.layers,
+        need_smoothness=need_smoothness,
     )
     return meshes, buffers
 
@@ -158,9 +159,13 @@ def tick_init(key, model: GeometryModel, params, pose_params,
     """ref hmsdf.py:810-915 + total at train.py:718."""
     k_render, k_sample = jax.random.split(key)
     shade = bool(cfg.render.init_shading)
+    # need_smoothness=False: the init total is reg+normal+msk (ref
+    # train.py:718) — the material/normal smoothness regularizers never
+    # enter it, so the render can drop their channels entirely
     meshes, buffers = render_stage_mesh(
         k_render, model, params, pose_params, tex_module, tex_params,
-        target, cfg, raster_opts=raster_opts, shade=shade)
+        target, cfg, raster_opts=raster_opts, shade=shade,
+        need_smoothness=False)
 
     color_ref = target["all_img"]
     gt_mask = color_ref[..., 3:]
