@@ -132,10 +132,8 @@ def first_k_indices(mask: jnp.ndarray, k: int, fill_value: int,
     mask = mask.reshape(-1)
     n = mask.shape[0]
     if use_pallas is None:
-        try:
-            use_pallas = (jax.default_backend() == "tpu")
-        except Exception:              # pragma: no cover
-            use_pallas = False
+        from d3human_tpu.ops.scatter import default_use_pallas
+        use_pallas = default_use_pallas()
     if use_pallas and n < (1 << 24) and n > 2 * block:
         return _first_k_pallas(mask, k, fill_value,
                                interpret=(use_pallas == "interpret"))

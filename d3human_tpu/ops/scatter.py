@@ -138,7 +138,14 @@ def coo_scatter_add(
 
 
 def default_use_pallas() -> bool:
-    """Pallas scatter on TPU; XLA scatter elsewhere (CPU tests/interpret)."""
+    """Pallas scatter on TPU; XLA scatter elsewhere (CPU tests/interpret).
+
+    D3H_DISABLE_PALLAS=1 forces the XLA fallbacks even on TPU — the lever
+    for on-device gradient-equivalence A/Bs of the Mosaic kernels (interpret
+    mode exercises the kernel logic but not the compiled Mosaic program)."""
+    import os
+    if os.environ.get("D3H_DISABLE_PALLAS", "") == "1":
+        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:                      # pragma: no cover
