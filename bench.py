@@ -228,6 +228,26 @@ def build(scale: str):
     key = jax.random.PRNGKey(0)
     kt, kl = jax.random.split(key)
     gparams = model.init_params(key, n_images=2)
+    # The bench scene must contain a REAL surface. The r5 exact compactions
+    # made extraction/covered-pixel cost occupancy-dependent (by design —
+    # production pays for what it renders), and a random-init sdf_net has
+    # no zero crossing in the lattice: an empty mesh silently under-prices
+    # the pixel path (the r<=4 capacity-padded design was occupancy-blind,
+    # so this never mattered before). Quick-fit the MLP to an analytic
+    # capsule at production-like screen occupancy (~0.1 of the frame at the
+    # bench camera), and give msdf a height split so the split-stage halves
+    # carry real per-half faces and an open/close boundary.
+    _v = np.asarray(grid.verts)
+    _seg = np.clip(_v[:, 1], -0.35, 0.35)
+    _ax = np.stack([np.zeros_like(_seg), _seg, np.zeros_like(_seg)], -1)
+    _capsule = 0.24 - np.linalg.norm(_v - _ax, axis=-1)  # pos inside (ref)
+    gparams, _ploss = model.pretrain_sdf(
+        gparams, jnp.asarray(_capsule, jnp.float32),
+        steps=int(os.environ.get("BENCH_SDF_SEED_STEPS", "400")))
+    gparams["msdf"] = jnp.asarray(
+        np.clip(_v[:, 1] * 4.0, -1.0, 1.0), jnp.float32)
+    print(f"[bench] seeded capsule surface (pretrain loss {_ploss:.2e})",
+          flush=True)
     tex = MLPTexture3D(cfg.texture, (jnp.zeros((6,)), jnp.ones((6,))))
     if cfg.loss.perceptual_backbone == "none":
         from d3human_tpu.models.perceptual import NullPerceptual
@@ -506,11 +526,17 @@ def main():
             if crop_active and stage != "seq":
                 sh += (f"; grid_crop={crop_active} "
                        f"(body-tight lattice, extraction-identical subset)")
-            cov_used = float(max(
-                (v for k, v in jax.device_get(aux).items()
-                 if k.endswith("cap_cov")), default=0.0))
+            cov_vals = [v for k, v in jax.device_get(aux).items()
+                        if k.endswith("cap_cov")]
+            cov_used = float(max(cov_vals, default=0.0))
             assert cov_used < 1.0, \
                 f"covered-pixel capacity overflow (cap_cov={cov_used:.2f})"
+            # an empty surface renders nothing and the exact compactions
+            # then skip the pixel path — fail loudly instead of printing a
+            # hollow throughput number (caught live in the r5 split capture:
+            # 373 it/s at occupancy 0.00)
+            assert not cov_vals or cov_used > 0.0, \
+                "bench scene rendered nothing (empty surface)"
             sh += (f"; max_covered_frac={extras['cfg'].render.max_covered_frac}"
                    f" (exact: peak occupancy {cov_used:.2f})")
             print(json.dumps({
